@@ -1,23 +1,20 @@
 """tpu-llcomp: a TPU-native lossless image codec (llcomp rev-2 bitstream).
 
-Public API:
-    encode(img)          -> bytes        reference-compatible single stream
-    decode(data)         -> np.ndarray
-    encode_sliced(...)   -> bytes        sliced container, TPU-parallel
-    decode_sliced(...)   -> np.ndarray
+Public API (lazy — importing the package does not initialize JAX):
+    compress(img)            -> bytes        reference-compatible single stream
+    decompress(data)         -> np.ndarray
+    compress_sliced(img)     -> bytes        sliced container, TPU-parallel
+    decompress_sliced(data)  -> np.ndarray
 """
 from .core.config import REV2, CodecConfig, EXT, EXT_SLICED  # noqa: F401
 
 __version__ = "0.1.0"
 
+_API = ("compress", "decompress", "compress_sliced", "decompress_sliced")
+
 
 def __getattr__(name):
-    # Lazy imports keep `import llcomp_tpu` light (no jax init) for CLI help paths.
-    if name in ("encode", "decode"):
-        from . import api
-
-        return getattr(api, name)
-    if name in ("encode_sliced", "decode_sliced"):
+    if name in _API:
         from . import api
 
         return getattr(api, name)

@@ -1,0 +1,105 @@
+"""Batched lane-parallel encoder (JAX).
+
+Pipeline (all stages one jit per (shape, T) bucket):
+
+  [S, H, W, C] u8
+    └─ rct_forward ─ context_and_residual ─ binarize      (pure map, no loops)
+    └─ compact: pack valid decisions per lane to the front [S, T]
+    └─ lax.scan over T decisions: model gather/update + range-coder put,
+       emitting one slot record per step                    (the serial part)
+    └─ finish flush (2 slots)
+  host: expand slot records to per-lane byte streams.
+
+The scan's carried state per lane is the trimmed 63,408-entry adaptive model
+plus four coder scalars.  All lanes advance in lockstep; a lane whose stream
+is shorter than T simply codes masked no-ops (its model and coder state are
+provably untouched by masked steps).
+
+Reference semantics: encode loop at `llcomp.hpp:390-449`; model addressing
+``states[hash * 8 + ctx]`` at `llcomp.hpp:440-441`.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import coder
+from .core import transform
+from .core.config import REV2, CodecConfig
+
+
+def _bucket(n: int, quantum: int = 8192) -> int:
+    """Round a scan length up to a bucket to bound jit recompiles."""
+    return max(quantum, -(-n // quantum) * quantum)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _count(imgs: jnp.ndarray, cfg: CodecConfig = REV2) -> jnp.ndarray:
+    v = transform.rct_forward(imgs)
+    _, diff = transform.context_and_residual(v, cfg)
+    return transform.count_bins(diff.reshape(diff.shape[0], -1))
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "cfg"))
+def _pipeline(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2):
+    """Full encode for a batch of lanes; ``cap`` = static scan length (bucketed)."""
+    S = imgs.shape[0]
+    v = transform.rct_forward(imgs)
+    hash_, diff = transform.context_and_residual(v, cfg)
+    ctx, bit, valid, _ = transform.binarize(diff.reshape(S, -1), cfg)
+
+    # Pack each decision as cidx*2 + bit; -1 marks padding.
+    cidx = hash_.reshape(S, -1, 1) * cfg.substates + ctx
+    packed = (cidx << 1) | bit
+    flatp = packed.reshape(S, -1)
+    flatv = valid.reshape(S, -1)
+    pos = jnp.cumsum(flatv.astype(jnp.int32), axis=1) - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, flatv.shape, 0)
+    compact = jnp.full((S, cap), -1, jnp.int32)
+    compact = compact.at[lane, jnp.where(flatv, pos, cap)].set(flatp, mode="drop")
+
+    # --- the serial part: lockstep scan over decisions -------------------
+    NS = cfg.num_states
+    states0 = jnp.zeros((S, NS + 1), jnp.uint8)          # +1 trash slot
+    lane_s = jnp.arange(S)
+
+    def step(carry, xs):
+        states, cod = carry
+        p = xs
+        valid_s = p >= 0
+        ci = jnp.where(valid_s, p >> 1, NS)
+        b = p & 1
+        st = jnp.minimum(states[lane_s, ci].astype(jnp.int32), 127)
+        prob = transform.STATE_PROB[st]
+        cod, slot = coder.put_step(cod, (prob, b, valid_s))
+        ns = transform.NEXT_STATE[st * 2 + b].astype(jnp.uint8)
+        states = states.at[lane_s, ci].set(ns)
+        return (states, cod), slot
+
+    cod0 = coder.encoder_init(S)
+    (_, cod), (meta, runs) = jax.lax.scan(step, (states0, cod0), compact.T)
+    fmeta, fruns = coder.finish_steps(cod)
+    meta = jnp.concatenate([meta, fmeta])
+    runs = jnp.concatenate([runs, fruns])
+    return meta, runs
+
+
+def encode_lanes(
+    imgs: np.ndarray, cfg: CodecConfig = REV2
+) -> list[bytes]:
+    """Encode a batch of equal-shaped lanes [S, H, W, C] -> per-lane streams.
+
+    Each returned byte string is a complete headerless rev-2 entropy stream
+    (the caller prepends the 6-byte header or records it in a container).
+    """
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    counts = np.asarray(_count(imgs, cfg))
+    cap = _bucket(int(counts.max()))
+    meta, runs = _pipeline(imgs, cap, cfg)
+    meta = np.asarray(meta)
+    runs = np.asarray(runs)
+    return [coder.expand_slots(meta[:, s], runs[:, s]) for s in range(imgs.shape[0])]

@@ -6,12 +6,20 @@ from pathlib import Path
 # Force a deterministic 8-device CPU mesh for all tests: sharding/pjit logic is
 # exercised without TPU hardware (the driver dry-runs the multichip path the
 # same way), and numerics are integer so CPU == TPU bit-for-bit.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+#
+# This environment boots with an `axon` TPU plugin registered from
+# sitecustomize (remote-tunneled chip; slow remote compiles), so forcing CPU
+# must happen via jax.config *after* import, not just via JAX_PLATFORMS.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 

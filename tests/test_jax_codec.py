@@ -1,0 +1,81 @@
+"""JAX lane-parallel encoder/decoder vs the NumPy oracle (and golden bytes)."""
+import numpy as np
+import pytest
+
+from llcomp_tpu import decode as jdec
+from llcomp_tpu import encode as jenc
+from llcomp_tpu import oracle
+from tests.conftest import make_noise, make_photo
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(1, 1, 3), (2, 2, 3), (4, 4, 3), (16, 16, 3), (7, 5, 3), (8, 8, 4),
+     (5, 3, 1), (6, 4, 2), (1, 8, 3), (8, 1, 3)],
+)
+def test_encode_matches_oracle(shape):
+    img = make_photo(*shape, seed=sum(shape))
+    assert jenc.encode_lanes(img[None])[0] == oracle.encode(img)[6:]
+
+
+def test_encode_batch_lockstep():
+    lanes = np.stack(
+        [make_photo(8, 16, seed=i) for i in range(3)] + [make_noise(8, 16)]
+    )
+    outs = jenc.encode_lanes(lanes)
+    for i in range(4):
+        assert outs[i] == oracle.encode(lanes[i])[6:]
+
+
+@pytest.mark.parametrize(
+    "shape", [(1, 1, 3), (4, 4, 3), (16, 16, 3), (7, 5, 3), (8, 8, 4), (5, 3, 1)]
+)
+def test_decode_matches_oracle(shape):
+    img = make_photo(*shape, seed=sum(shape) * 3)
+    blob = oracle.encode(img)
+    out = jdec.decode_lanes([blob[6:]], shape)
+    np.testing.assert_array_equal(out[0], img)
+
+
+def test_decode_batch_mixed_content():
+    lanes = [make_photo(8, 16, seed=i) for i in range(3)] + [
+        make_noise(8, 16),
+        np.full((8, 16, 3), 42, np.uint8),
+    ]
+    streams = [oracle.encode(l)[6:] for l in lanes]
+    outs = jdec.decode_lanes(streams, (8, 16, 3))
+    for i, l in enumerate(lanes):
+        np.testing.assert_array_equal(outs[i], l)
+
+
+def test_jax_roundtrip_jax_only():
+    """encode_lanes -> decode_lanes without touching the oracle."""
+    lanes = np.stack([make_photo(12, 12, seed=s) for s in range(6)])
+    streams = jenc.encode_lanes(lanes)
+    outs = jdec.decode_lanes(streams, (12, 12, 3))
+    np.testing.assert_array_equal(outs, lanes)
+
+
+def test_decode_corrupt_stream_flags_error():
+    img = make_photo(8, 8)
+    blob = bytearray(oracle.encode(img)[6:])
+    rng = np.random.default_rng(0)
+    blob[2:] = bytes(rng.integers(0, 256, len(blob) - 2, dtype=np.uint8).tolist())
+    # most corruptions still "decode" (arithmetic coders accept any bytes);
+    # a symbol overrunning its 24-decision bound must raise, not loop/garble
+    try:
+        jdec.decode_lanes([bytes(blob)], (8, 8, 3))
+    except ValueError as e:
+        assert "corrupt" in str(e)
+
+
+def test_encode_vs_reference_binary(ref_oracle):
+    img = make_photo(24, 32, seed=11)
+    assert jenc.encode_lanes(img[None])[0] == ref_oracle.encode(img)[6:]
+
+
+def test_decode_reference_stream(ref_oracle):
+    img = make_photo(24, 32, seed=12)
+    blob = ref_oracle.encode(img)
+    out = jdec.decode_lanes([blob[6:]], img.shape)
+    np.testing.assert_array_equal(out[0], img)
