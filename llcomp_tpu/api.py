@@ -1,0 +1,126 @@
+"""Public in-memory API: compress / decompress.
+
+Mirrors the reference's two-function surface (`compressImage`/`decompressImage`,
+`llcomp.hpp:358,461`): pure functions over arrays, no global state.  Adds the
+sliced mode that unlocks TPU parallelism (each stripe is an independent rev-2
+stream; see ``container``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import container
+from .core.config import REV2, CodecConfig
+
+
+def _as_image(img) -> np.ndarray:
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise TypeError(f"expected uint8 image, got {img.dtype}")
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.ndim != 3:
+        raise ValueError(f"expected [H, W, C] or [H, W], got shape {img.shape}")
+    return img
+
+
+def pick_slice_height(height: int, width: int, channels: int,
+                      target_lanes: int = 64, min_rows: int = 8) -> int:
+    """Stripe height balancing lane count (TPU occupancy) against compression.
+
+    More stripes = more parallel lanes but each stream restarts its adaptive
+    model from zero, costing ratio on small stripes.  Default: aim for
+    ``target_lanes`` stripes but never fewer than ``min_rows`` rows per stripe.
+    """
+    rows = max(min_rows, -(-height // target_lanes))
+    return min(height, rows)
+
+
+def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
+             backend: str = "jax") -> bytes:
+    """Compress a uint8 [H, W, C] image.
+
+    slices=None/1 -> reference-compatible single stream (bit-exact vs llcompc).
+    slices='auto' or an int n -> sliced container with n independent stripes,
+    encoded lane-parallel on the accelerator.
+    """
+    img = _as_image(img)
+    H, W, C = img.shape
+
+    if slices in (None, 1):
+        if backend == "oracle":
+            from . import oracle
+
+            return oracle.encode(img, cfg)
+        from . import encode
+
+        stream = encode.encode_lanes(img[None], cfg)[0]
+        return container.pack_single(stream, W, H, C, cfg)
+
+    if slices == "auto":
+        slice_h = pick_slice_height(H, W, C)
+    else:
+        n = int(slices)
+        if n < 1:
+            raise ValueError(f"slices must be >= 1 or 'auto', got {n}")
+        slice_h = max(1, -(-H // n))
+    bounds = container.slice_bounds(H, slice_h)
+    streams = encode_stripes(img, bounds, cfg)
+    return container.pack_sliced(streams, W, H, C, slice_h, cfg)
+
+
+def encode_stripes(img: np.ndarray, bounds, cfg: CodecConfig = REV2) -> list[bytes]:
+    """Encode stripes as independent streams, batching equal-shaped stripes."""
+    from . import encode
+
+    by_shape: dict[int, list[int]] = {}
+    for i, (y0, y1) in enumerate(bounds):
+        by_shape.setdefault(y1 - y0, []).append(i)
+    out: list[bytes | None] = [None] * len(bounds)
+    for rows, idxs in by_shape.items():
+        lanes = np.stack([img[bounds[i][0] : bounds[i][1]] for i in idxs])
+        for i, blob in zip(idxs, encode.encode_lanes(lanes, cfg)):
+            out[i] = blob
+    return out  # type: ignore[return-value]
+
+
+def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax") -> np.ndarray:
+    """Decompress either container format back to a uint8 [H, W, C] image."""
+    data = bytes(data)
+    if container.is_sliced(data):
+        streams, W, H, C, slice_h = container.unpack_sliced(data, cfg)
+        bounds = container.slice_bounds(H, slice_h)
+        return decode_stripes(streams, bounds, W, C, cfg)
+
+    payload, W, H, C = container.unpack_single(data, cfg)
+    if backend == "oracle":
+        from . import oracle
+
+        return oracle.decode(data, cfg)
+    from . import decode
+
+    return decode.decode_lanes([payload], (H, W, C), cfg)[0]
+
+
+def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2) -> np.ndarray:
+    from . import decode
+
+    H = bounds[-1][1]
+    out = np.empty((H, W, C), dtype=np.uint8)
+    by_shape: dict[int, list[int]] = {}
+    for i, (y0, y1) in enumerate(bounds):
+        by_shape.setdefault(y1 - y0, []).append(i)
+    for rows, idxs in by_shape.items():
+        lanes = decode.decode_lanes([streams[i] for i in idxs], (rows, W, C), cfg)
+        for k, i in enumerate(idxs):
+            out[bounds[i][0] : bounds[i][1]] = lanes[k]
+    return out
+
+
+# Sliced-format aliases used by the package __init__.
+def compress_sliced(img, slices: int | str = "auto", cfg: CodecConfig = REV2) -> bytes:
+    return compress(img, slices=slices, cfg=cfg)
+
+
+def decompress_sliced(data: bytes, cfg: CodecConfig = REV2) -> np.ndarray:
+    return decompress(data, cfg)

@@ -1,0 +1,117 @@
+"""Command-line interface.
+
+Covers both reference CLIs (`llcompc.cpp`, `llcompd.cpp`) plus the sliced
+TPU-parallel mode and a stream inspector:
+
+    python -m llcomp_tpu.cli compress   <image> [-o OUT] [--slices N|auto]
+    python -m llcomp_tpu.cli decompress <file.llcomp|.llct> [-o OUT]
+    python -m llcomp_tpu.cli info       <file.llcomp|.llct>
+
+Like the reference, ``compress`` writes ``<input>.llcomp`` by default (or
+``<input>.llct`` in sliced mode) and ``decompress`` writes ``<input>.png``.
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+from . import container
+from .core.config import EXT, EXT_SLICED
+
+
+def _cmd_compress(args) -> int:
+    from . import api
+    from .io import load_image
+
+    img = load_image(args.input)
+    slices = args.slices
+    if slices not in (None, "auto"):
+        slices = int(slices)
+    t0 = time.perf_counter()
+    blob = api.compress(img, slices=slices, backend=args.backend)
+    dt = time.perf_counter() - t0
+    out = pathlib.Path(
+        args.output
+        if args.output
+        else str(args.input) + (EXT_SLICED if container.is_sliced(blob) else EXT)
+    )
+    out.write_bytes(blob)
+    h, w, c = img.shape
+    mp = h * w / 1e6
+    print(
+        f"{args.input}: {img.nbytes} -> {len(blob)} bytes "
+        f"({img.nbytes / len(blob):.2f}x, {8 * len(blob) / (h * w):.3f} bpp, "
+        f"{mp / dt:.2f} MP/s) -> {out}"
+    )
+    return 0
+
+
+def _cmd_decompress(args) -> int:
+    from . import api
+    from .io import save_image
+
+    data = pathlib.Path(args.input).read_bytes()
+    t0 = time.perf_counter()
+    img = api.decompress(data, backend=args.backend)
+    dt = time.perf_counter() - t0
+    out = pathlib.Path(args.output if args.output else str(args.input) + ".png")
+    save_image(out, img)
+    h, w, c = img.shape
+    print(f"{args.input}: {w}x{h}x{c} ({h * w / 1e6 / dt:.2f} MP/s) -> {out}")
+    return 0
+
+
+def _cmd_info(args) -> int:
+    data = pathlib.Path(args.input).read_bytes()
+    if container.is_sliced(data):
+        streams, w, h, c, slice_h = container.unpack_sliced(data)
+        print(f"sliced container v{container.CONTAINER_VERSION} (rev 2)")
+        print(f"  {w}x{h}x{c}, {len(streams)} slices of {slice_h} rows")
+        print(f"  payload {sum(len(s) for s in streams)} bytes, "
+              f"{8 * len(data) / (w * h):.3f} bpp")
+        lens = [len(s) for s in streams]
+        print(f"  slice bytes: min {min(lens)}, max {max(lens)}")
+    else:
+        payload, w, h, c = container.unpack_single(data)
+        print("single stream (rev 2, reference-compatible)")
+        print(f"  {w}x{h}x{c}, payload {len(payload)} bytes, "
+              f"{8 * len(data) / (w * h):.3f} bpp")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="llcomp-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser("compress", help="image -> .llcomp/.llct")
+    pc.add_argument("input")
+    pc.add_argument("-o", "--output")
+    pc.add_argument("--slices", default=None,
+                    help="'auto' or stripe count; omit for reference format")
+    pc.add_argument("--backend", default="jax", choices=["jax", "oracle", "native"])
+    pc.set_defaults(fn=_cmd_compress)
+
+    pd = sub.add_parser("decompress", help=".llcomp/.llct -> image")
+    pd.add_argument("input")
+    pd.add_argument("-o", "--output")
+    pd.add_argument("--backend", default="jax", choices=["jax", "oracle", "native"])
+    pd.set_defaults(fn=_cmd_decompress)
+
+    pi = sub.add_parser("info", help="inspect a compressed file")
+    pi.add_argument("input")
+    pi.set_defaults(fn=_cmd_info)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    except (ValueError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

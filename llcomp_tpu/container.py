@@ -1,0 +1,98 @@
+"""Bitstream containers.
+
+Two on-disk formats:
+
+* **Single-stream** — byte-identical to the reference CLI output
+  (`llcomp.hpp:375-378`): 6-byte header (magic 0x79, channels u8, width u16 LE,
+  height u16 LE) followed by one rev-2 entropy stream.  Limited to 65535×65535
+  like the reference (which silently *truncates* larger dims through its u16
+  fields, `llcomp.hpp:370-373`; we raise instead).
+
+* **Sliced container** (``.llct``, this framework's own) — the image is cut
+  into horizontal stripes, each an independent rev-2 stream with its own coder
+  and model state.  This is what breaks the format's serial dependence and
+  lets encode/decode scale across TPU lanes, chips and hosts.  Layout (all LE):
+
+      0   4   magic "LLCT"
+      4   1   container version (1)
+      5   1   codec revision (2)
+      6   1   channels
+      7   1   reserved (0)
+      8   4   width  u32
+      12  4   height u32
+      16  4   slice height u32 (last slice may be shorter)
+      20  4   slice count u32
+      24  4*n per-slice payload lengths u32
+      ..      concatenated slice payloads, in image order
+
+  Slice payloads are gathered in file order, so a sliced file is a pure
+  concatenation plus an index — re-encoding one stripe is an in-place patch
+  (the basis of elastic/idempotent re-encode, SURVEY §5).
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .core.config import REV2, CodecConfig
+
+MAGIC_SLICED = b"LLCT"
+CONTAINER_VERSION = 1
+
+
+def pack_single(stream: bytes, width: int, height: int, channels: int,
+                cfg: CodecConfig = REV2) -> bytes:
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(
+            f"single-stream format is limited to 65535x65535 (got {width}x{height}); "
+            "use the sliced container for larger images"
+        )
+    return struct.pack("<BBHH", cfg.magic, channels, width, height) + stream
+
+
+def unpack_single(data: bytes, cfg: CodecConfig = REV2):
+    """-> (payload, width, height, channels)."""
+    if len(data) < 6 or data[0] != cfg.magic:
+        raise ValueError("Invalid magic number")
+    channels, width, height = struct.unpack_from("<BHH", data, 1)
+    return data[6:], width, height, channels
+
+
+def pack_sliced(streams: list[bytes], width: int, height: int, channels: int,
+                slice_h: int, cfg: CodecConfig = REV2) -> bytes:
+    head = MAGIC_SLICED + struct.pack(
+        "<BBBBIIII", CONTAINER_VERSION, cfg.revision, channels, 0,
+        width, height, slice_h, len(streams),
+    )
+    index = struct.pack(f"<{len(streams)}I", *(len(s) for s in streams))
+    return head + index + b"".join(streams)
+
+
+def unpack_sliced(data: bytes, cfg: CodecConfig = REV2):
+    """-> (streams, width, height, channels, slice_h)."""
+    if data[:4] != MAGIC_SLICED:
+        raise ValueError("Invalid magic number")
+    ver, rev, channels, _r, width, height, slice_h, n = struct.unpack_from(
+        "<BBBBIIII", data, 4
+    )
+    if ver != CONTAINER_VERSION:
+        raise ValueError(f"unsupported container version {ver}")
+    if rev != cfg.revision:
+        raise ValueError(f"unsupported codec revision {rev}")
+    off = 24
+    lengths = struct.unpack_from(f"<{n}I", data, off)
+    off += 4 * n
+    streams = []
+    for ln in lengths:
+        streams.append(data[off : off + ln])
+        off += ln
+    return streams, width, height, channels, slice_h
+
+
+def slice_bounds(height: int, slice_h: int) -> list[tuple[int, int]]:
+    return [(y, min(y + slice_h, height)) for y in range(0, height, slice_h)]
+
+
+def is_sliced(data: bytes) -> bool:
+    return data[:4] == MAGIC_SLICED

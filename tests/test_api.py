@@ -1,0 +1,77 @@
+"""Public API: both container formats, slicing geometry, error paths."""
+import numpy as np
+import pytest
+
+import llcomp_tpu
+from llcomp_tpu import api, container, oracle
+from tests.conftest import make_photo
+
+
+def test_single_stream_matches_reference_format():
+    img = make_photo(16, 16)
+    blob = llcomp_tpu.compress(img)
+    assert blob == oracle.encode(img)
+    np.testing.assert_array_equal(llcomp_tpu.decompress(blob), img)
+
+
+def test_sliced_roundtrip_even():
+    img = make_photo(32, 16)
+    blob = llcomp_tpu.compress(img, slices=4)
+    assert container.is_sliced(blob)
+    np.testing.assert_array_equal(llcomp_tpu.decompress(blob), img)
+
+
+def test_sliced_roundtrip_ragged():
+    """Height not divisible by slice count: last stripe is shorter."""
+    img = make_photo(37, 16)
+    blob = llcomp_tpu.compress(img, slices=5)
+    np.testing.assert_array_equal(llcomp_tpu.decompress(blob), img)
+
+
+def test_sliced_auto():
+    img = make_photo(48, 8)
+    blob = llcomp_tpu.compress(img, slices="auto")
+    np.testing.assert_array_equal(llcomp_tpu.decompress(blob), img)
+
+
+def test_sliced_streams_are_independent_reference_streams():
+    """Each stripe payload is a valid headerless rev-2 stream of that stripe."""
+    img = make_photo(24, 16)
+    blob = llcomp_tpu.compress(img, slices=3)
+    streams, W, H, C, slice_h = container.unpack_sliced(blob)
+    assert (W, H, C, slice_h, len(streams)) == (16, 24, 3, 8, 3)
+    for i, s in enumerate(streams):
+        stripe = img[i * 8 : (i + 1) * 8]
+        assert s == oracle.encode(stripe)[6:]
+
+
+def test_sliced_size_overhead_bounded():
+    img = make_photo(64, 64)
+    single = len(llcomp_tpu.compress(img))
+    sliced = len(llcomp_tpu.compress(img, slices=8))
+    # per-slice model restart costs ratio; must stay modest on photo-like data
+    assert sliced < single * 1.35
+
+
+def test_grayscale_and_2d_input():
+    img2d = make_photo(12, 10, c=1)[..., 0]
+    blob = llcomp_tpu.compress(img2d)
+    np.testing.assert_array_equal(llcomp_tpu.decompress(blob)[..., 0], img2d)
+
+
+def test_errors():
+    with pytest.raises(TypeError):
+        llcomp_tpu.compress(np.zeros((4, 4, 3), np.float32))
+    with pytest.raises(ValueError):
+        llcomp_tpu.decompress(b"\x00" * 16)
+    with pytest.raises(ValueError):
+        container.pack_single(b"", 70000, 10, 3)  # reference silently truncates
+
+
+def test_oracle_backend():
+    img = make_photo(8, 8)
+    blob = llcomp_tpu.compress(img, backend="oracle")
+    assert blob == llcomp_tpu.compress(img)
+    np.testing.assert_array_equal(
+        llcomp_tpu.decompress(blob, backend="oracle"), img
+    )
