@@ -56,12 +56,14 @@ def _schedule(H: int, W: int, C: int):
         | ((w < W - 1).astype(np.int32) << 3)
         | ((h > 1).astype(np.int32) << 4)
     )
+    # NumPy (not jnp): this cache is shared across traces, and device arrays
+    # created inside one trace must never leak into another.
     return (
-        jnp.asarray(x_off, jnp.int32),
-        jnp.asarray(h % 3, jnp.int32),
-        jnp.asarray((h + 2) % 3, jnp.int32),
-        jnp.asarray((h + 1) % 3, jnp.int32),
-        jnp.asarray(flags, jnp.int32),
+        x_off.astype(np.int32),
+        (h % 3).astype(np.int32),
+        ((h + 2) % 3).astype(np.int32),
+        ((h + 1) % 3).astype(np.int32),
+        flags,
     )
 
 
