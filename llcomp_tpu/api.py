@@ -52,6 +52,10 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
             from . import oracle
 
             return oracle.encode(img, cfg)
+        if backend == "native":
+            from . import host
+
+            return container.pack_single(host.encode_stream(img), W, H, C, cfg)
         from . import encode
 
         stream = encode.encode_lanes(img[None], cfg)[0]
@@ -97,6 +101,10 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax") -> np
         from . import oracle
 
         return oracle.decode(data, cfg)
+    if backend == "native":
+        from . import host
+
+        return host.decode_stream(payload, (H, W, C))
     from . import decode
 
     return decode.decode_lanes([payload], (H, W, C), cfg)[0]
