@@ -74,14 +74,21 @@ def _line_at(lines, row, off):
     return sl.reshape(S)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "C", "cfg"))
-def _decode_scan(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = REV2):
-    """data [S, cap] u8 (zero-padded) -> (planes [S, H, W, C] i32, err [S] bool)."""
+def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = REV2):
+    """data [S, cap] u8 (zero-padded) -> (planes [S, H, W, C] i32, err [S] bool).
+
+    Pure function (unjitted) for shard_map wrapping; ``_decode_scan`` below is
+    the jitted single-device entry point.
+    """
     S, cap = data.shape
     NS = cfg.num_states
-    lane = jnp.arange(S)
     stride = W * C
     d32 = data.astype(jnp.int32)
+    # Flat 1-D gathers with absolute offsets: XLA:TPU compiles these fast,
+    # unlike 2-D batched gathers (docs/DESIGN.md).
+    dflat = d32.reshape(-1)
+    data_base = jnp.arange(S) * cap
+    lane_base = jnp.arange(S) * (NS + 1)
 
     x_off_t, cur_t, up_t, upup_t, flags_t = _schedule(H, W, C)
 
@@ -89,7 +96,7 @@ def _decode_scan(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
     low0 = (d32[:, 0] << 8) | d32[:, 1]
 
     def read_byte(pos):
-        b = jnp.take_along_axis(d32, jnp.minimum(pos, cap - 1)[:, None], axis=1)[:, 0]
+        b = dflat[data_base + jnp.minimum(pos, cap - 1)]
         return jnp.where(pos < cap, b, 0)  # zero past end, like the reference
 
     def sym_step(carry, xs):
@@ -137,9 +144,9 @@ def _decode_scan(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
             ctx = jnp.where(phase == _EXP, jnp.minimum(ectx, cfg.e_lim), ctx)
             ctx = jnp.where(phase == _MANT, jnp.minimum(mctx, cfg.r_lim), ctx)
             ctx = jnp.where(phase == _SIGN, cfg.sign_ctx, ctx)
-            idx = jnp.where(active, base + ctx, NS)
+            idx = lane_base + jnp.where(active, base + ctx, NS)
 
-            st = jnp.minimum(states[lane, idx].astype(jnp.int32), 127)
+            st = jnp.minimum(states[idx].astype(jnp.int32), 127)
             prob = transform.STATE_PROB[st]
             range1 = (rng * prob) >> 8
             rng0 = rng - range1
@@ -153,7 +160,7 @@ def _decode_scan(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
             pos2 = jnp.where(refill, pos + 1, pos)
 
             nst = transform.NEXT_STATE[st * 2 + bit.astype(jnp.int32)]
-            states = states.at[lane, idx].set(nst.astype(jnp.uint8))
+            states = states.at[idx].set(nst.astype(jnp.uint8))
 
             b = bit.astype(jnp.int32)
             # phase transitions
@@ -200,7 +207,7 @@ def _decode_scan(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
         return (states, lines, low, rng, pos, err), recon
 
     carry0 = (
-        jnp.zeros((S, NS + 1), jnp.uint8),
+        jnp.zeros((S * (NS + 1),), jnp.uint8),
         jnp.zeros((S, 3, stride), jnp.int32),
         low0,
         jnp.full((S,), 0xFF00, jnp.int32),
@@ -212,6 +219,9 @@ def _decode_scan(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
     )
     planes = recon_t.T.reshape(S, H, W, C)
     return planes, err
+
+
+_decode_scan = jax.jit(_decode_impl, static_argnames=("H", "W", "C", "cfg"))
 
 
 def _bucket_cap(n: int, quantum: int = 4096) -> int:

@@ -44,40 +44,53 @@ def _count(imgs: jnp.ndarray, cfg: CodecConfig = REV2) -> jnp.ndarray:
     return transform.count_bins(diff.reshape(diff.shape[0], -1))
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "cfg"))
-def _pipeline(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2):
-    """Full encode for a batch of lanes; ``cap`` = static scan length (bucketed)."""
+def _pipeline_impl(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2):
+    """Full encode for a batch of lanes; ``cap`` = static scan length (bucketed).
+
+    Pure function (unjitted) so ``parallel`` can wrap it in shard_map with
+    per-device lane blocks; ``_pipeline`` below is the jitted single-device
+    entry point.
+    """
     S = imgs.shape[0]
     v = transform.rct_forward(imgs)
     hash_, diff = transform.context_and_residual(v, cfg)
     ctx, bit, valid, _ = transform.binarize(diff.reshape(S, -1), cfg)
 
     # Pack each decision as cidx*2 + bit; -1 marks padding.
+    #
+    # NOTE on indexing style: everything below uses *flat 1-D* gathers and
+    # scatters with absolute offsets.  XLA:TPU compiles those in well under a
+    # second, while the equivalent 2-D batched gather (take_along_axis) takes
+    # minutes to compile on this backend (docs/DESIGN.md).
     cidx = hash_.reshape(S, -1, 1) * cfg.substates + ctx
     packed = (cidx << 1) | bit
-    flatp = packed.reshape(S, -1)
+    flatp = packed.reshape(-1)
     flatv = valid.reshape(S, -1)
     pos = jnp.cumsum(flatv.astype(jnp.int32), axis=1) - 1
     lane = jax.lax.broadcasted_iota(jnp.int32, flatv.shape, 0)
-    compact = jnp.full((S, cap), -1, jnp.int32)
-    compact = compact.at[lane, jnp.where(flatv, pos, cap)].set(flatp, mode="drop")
+    dst = jnp.where(flatv, lane * cap + pos, S * cap).reshape(-1)
+    compact = (
+        jnp.full((S * cap,), -1, jnp.int32)
+        .at[dst].set(flatp, mode="drop")
+        .reshape(S, cap)
+    )
 
     # --- the serial part: lockstep scan over decisions -------------------
     NS = cfg.num_states
-    states0 = jnp.zeros((S, NS + 1), jnp.uint8)          # +1 trash slot
-    lane_s = jnp.arange(S)
+    states0 = jnp.zeros((S * (NS + 1),), jnp.uint8)      # +1 trash slot/lane
+    lane_base = jnp.arange(S) * (NS + 1)
 
     def step(carry, xs):
         states, cod = carry
         p = xs
         valid_s = p >= 0
-        ci = jnp.where(valid_s, p >> 1, NS)
+        ci = lane_base + jnp.where(valid_s, p >> 1, NS)
         b = p & 1
-        st = jnp.minimum(states[lane_s, ci].astype(jnp.int32), 127)
+        st = jnp.minimum(states[ci].astype(jnp.int32), 127)
         prob = transform.STATE_PROB[st]
         cod, slot = coder.put_step(cod, (prob, b, valid_s))
         ns = transform.NEXT_STATE[st * 2 + b].astype(jnp.uint8)
-        states = states.at[lane_s, ci].set(ns)
+        states = states.at[ci].set(ns)
         return (states, cod), slot
 
     cod0 = coder.encoder_init(S)
@@ -86,6 +99,9 @@ def _pipeline(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2):
     meta = jnp.concatenate([meta, fmeta])
     runs = jnp.concatenate([runs, fruns])
     return meta, runs
+
+
+_pipeline = jax.jit(_pipeline_impl, static_argnames=("cap", "cfg"))
 
 
 def encode_lanes(

@@ -64,9 +64,19 @@ def encode_lanes_sharded(
     counts = np.asarray(jencode._count(dev_lanes, cfg))
     cap = jencode._bucket(int(counts.max()))
 
-    # jit is sharding-transparent: committed sharded inputs compile to SPMD
-    # with the lane axis partitioned; no collectives are introduced.
-    meta, runs = jencode._pipeline(dev_lanes, cap, cfg)
+    # shard_map: every device runs the full scan on its own lane block with
+    # purely local flat indexing — zero collectives by construction (the SPMD
+    # partitioner cannot prove locality of the flat model gathers itself).
+    fn = jax.jit(
+        jax.shard_map(
+            lambda x: jencode._pipeline_impl(x, cap, cfg),
+            mesh=mesh,
+            in_specs=P(LANE_AXIS),
+            out_specs=(P(None, LANE_AXIS), P(None, LANE_AXIS)),
+            check_vma=False,  # constant-seeded scan carries vary over lanes
+        )
+    )
+    meta, runs = fn(dev_lanes)
     meta = np.asarray(meta)
     runs = np.asarray(runs)
     return [coder.expand_slots(meta[:, s], runs[:, s]) for s in range(S)]
@@ -87,7 +97,16 @@ def decode_lanes_sharded(
 
     sh_in = NamedSharding(mesh, P(LANE_AXIS))
     dev = jax.device_put(data, sh_in)
-    planes, err = jdecode._decode_scan(dev, H, W, C, cfg)
+    fn = jax.jit(
+        jax.shard_map(
+            lambda x: jdecode._decode_impl(x, H, W, C, cfg),
+            mesh=mesh,
+            in_specs=P(LANE_AXIS),
+            out_specs=(P(LANE_AXIS), P(LANE_AXIS)),
+            check_vma=False,  # constant-seeded scan carries vary over lanes
+        )
+    )
+    planes, err = fn(dev)
     err = np.asarray(err)[:S]
     if err.any():
         raise ValueError(
