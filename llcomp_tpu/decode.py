@@ -1,29 +1,33 @@
 """Batched lane-parallel decoder (JAX).
 
 Decoding is the serial heart of the format: every context hash depends on
-just-reconstructed neighbor samples, and the number of coded bits per symbol
-is data-dependent (unknown until the unary exponent prefix terminates).  The
-TPU formulation keeps *all lanes in lockstep over symbols*:
+just-reconstructed neighbor samples, and the number of coded decisions per
+symbol is data-dependent (unknown until the unary exponent prefix
+terminates).  Two engines, both bit-exact:
 
-  * one `lax.scan` step per symbol position (identical across lanes, since all
-    lanes in a batch share slice geometry) — neighbor reads/writes become
-    dynamic slices at scalar offsets shared by every lane;
-  * a fixed 24-iteration inner `fori_loop` over binary decisions, each lane
-    advancing its own little symbol state machine (zero-flag → unary exponent
-    → mantissa → sign → done) and simply idling once its symbol is complete —
-    24 is the provable per-symbol bound (SURVEY §2.4);
-  * per-lane adaptive model updates as one-element gathers/scatters into the
-    trimmed [S, 63409] state table (a trash column absorbs idle lanes);
-  * the inverse color transform is hoisted out of the loop entirely: it is a
-    pure per-pixel map over the reconstructed planes, applied vectorized at
-    the end (the reference interleaves it per pixel, `llcomp.hpp:532-540`,
-    but it commutes with reconstruction).
+* **decision-outer** (default, ``_decode_impl``): one `lax.while_loop`
+  iteration codes exactly one binary decision *per lane*, with each lane
+  running its own little symbol state machine (zero-flag → unary exponent →
+  mantissa → sign) and its own raster position.  Symbol-boundary work
+  (neighbor fetch → context hash → prediction, then writeback of the
+  reconstructed sample) piggybacks on the first/next decision's step.  Lanes
+  drain at their natural pace and idle when finished; the loop ends when all
+  lanes are done, so total iterations = max-over-lanes decision count
+  (≈ 4.7/symbol on photo-like data) instead of the 24/symbol worst case.
+
+* **symbol-lockstep** (``_decode_impl_lockstep``): one `lax.scan` step per
+  symbol position shared by all lanes, with a fixed 24-iteration inner loop
+  (the provable per-symbol bound, SURVEY §2.4).  Simpler control flow; kept
+  as a second implementation for cross-checking and as the fallback.
+
+Both use flat 1-D gathers/scatters with absolute offsets exclusively — 2-D
+batched gathers take minutes to compile on the target backend
+(docs/DESIGN.md).  The inverse color transform commutes with reconstruction
+and is applied vectorized at the end (the reference interleaves it per pixel,
+`llcomp.hpp:532-540`).
 
 Reference semantics: decode loop at `llcomp.hpp:486-545`; getSymbol mirror at
-`llcomp.hpp:219-247`.  Corruption handling is *stronger* than the reference:
-a symbol that fails to terminate within 24 decisions sets a per-lane error
-flag (the reference only throws on exponents > 31 and otherwise emits
-garbage).
+`llcomp.hpp:219-247`, including the exponent-over-31 corruption guard.
 """
 from __future__ import annotations
 
@@ -39,6 +43,200 @@ from .core.config import REV2, CodecConfig
 
 # Symbol state-machine phases.
 _ZF, _EXP, _MANT, _SIGN, _DONE = 0, 1, 2, 3, 4
+
+
+def _quant_flat(table, x):
+    return table[jnp.clip(x, -128, 127) & 0xFF]
+
+
+# ===========================================================================
+# Decision-outer engine
+# ===========================================================================
+
+
+def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = REV2):
+    """data [S, cap] u8 (zero-padded) -> (planes [S, H, W, C] i32, err [S] bool)."""
+    S, cap = data.shape
+    NS = cfg.num_states
+    stride = W * C
+    n_sym = H * W * C
+    d32 = data.astype(jnp.int32)
+    dflat = d32.reshape(-1)
+    data_base = jnp.arange(S) * cap
+    model_base = jnp.arange(S) * (NS + 1)
+    lines_base = jnp.arange(S) * (3 * stride)
+    out_base = jnp.arange(S) * n_sym
+    q11 = transform._QUANT11
+    q5 = transform._QUANT5
+
+    zero_i = jnp.zeros((S,), jnp.int32)
+
+    def read_byte(pos):
+        b = dflat[data_base + jnp.minimum(pos, cap - 1)]
+        return jnp.where(pos < cap, b, 0)  # zero past end, like the reference
+
+    def line_at(lines, row, off):
+        return lines[lines_base + row * stride + off]
+
+    def step(st):
+        (states, lines, out, low, rng, pos, k, i, w, h, row, phase, value, e,
+         ectx, mrem, mctx, hsh_c, predict_c, neg_c, pending, recon_p, err,
+         it) = st
+
+        fin = k >= n_sym
+        # ---- (a) writeback of a symbol completed last iteration ----------
+        wb = pending & ~fin
+        off = w * C + i
+        # recon was computed at completion; write to lines ring + output
+        lines = lines.at[
+            jnp.where(wb, lines_base + row * stride + off, S * 3 * stride)
+        ].set(recon_p, mode="drop")
+        out = out.at[jnp.where(wb, out_base + k, S * n_sym)].set(
+            recon_p, mode="drop"
+        )
+        # advance raster position for lanes that wrote back
+        i2 = jnp.where(wb, i + 1, i)
+        roll_i = wb & (i2 >= C)
+        i2 = jnp.where(roll_i, 0, i2)
+        w2 = jnp.where(roll_i, w + 1, w)
+        roll_w = roll_i & (w2 >= W)
+        w2 = jnp.where(roll_w, 0, w2)
+        h2 = jnp.where(roll_w, h + 1, h)
+        row2 = jnp.where(roll_w, (row + 1) % 3, row)
+        k2 = jnp.where(wb, k + 1, k)
+        fin = k2 >= n_sym
+        active = ~fin
+
+        # ---- (b) context for lanes starting a new symbol -----------------
+        start = (pending | (it == 0)) & active
+        off2 = w2 * C + i2
+        up = (row2 + 2) % 3
+        upup = (row2 + 1) % 3
+        x = off2
+        w_pos = w2 > 0
+        h_pos = h2 > 0
+
+        l = jnp.where(
+            w_pos, line_at(lines, row2, jnp.maximum(x - C, 0)),
+            jnp.where(h_pos, line_at(lines, up, x), 128),
+        )
+        t = jnp.where(h_pos, line_at(lines, up, x), l)
+        L = jnp.where(w2 > 1, line_at(lines, row2, jnp.maximum(x - 2 * C, 0)), l)
+        tl = jnp.where(h_pos & w_pos, line_at(lines, up, jnp.maximum(x - C, 0)), t)
+        tr = jnp.where(
+            h_pos & (w2 < W - 1),
+            line_at(lines, up, jnp.minimum(x + C, stride - 1)), t,
+        )
+        T = jnp.where(h2 > 1, line_at(lines, upup, x), t)
+
+        hsh = (
+            _quant_flat(q11, l - tl)
+            + _quant_flat(q11, tl - t) * 11
+            + _quant_flat(q11, t - tr) * 121
+        )
+        if cfg.large_model:
+            hsh = hsh + _quant_flat(q5, L - l) * 605 + _quant_flat(q5, T - t) * 3025
+        pred = jnp.clip(l + t - tl, jnp.minimum(l, t), jnp.maximum(l, t))
+        neg = hsh < 0
+        hsh = jnp.where(neg, -hsh, hsh)
+
+        hsh_c2 = jnp.where(start, hsh * cfg.substates, hsh_c)
+        predict_c2 = jnp.where(start, pred, predict_c)
+        neg_c2 = jnp.where(start, neg, neg_c)
+        phase = jnp.where(start, _ZF, phase)
+        value = jnp.where(start, 0, value)
+        e = jnp.where(start, 0, e)
+        ectx = jnp.where(start, 1, ectx)
+        mrem = jnp.where(start, 0, mrem)
+        mctx = jnp.where(start, cfg.e_lim + 1, mctx)
+
+        # ---- (c) one binary decision per active lane ---------------------
+        ctx = jnp.where(phase == _EXP, jnp.minimum(ectx, cfg.e_lim), 0)
+        ctx = jnp.where(phase == _MANT, jnp.minimum(mctx, cfg.r_lim), ctx)
+        ctx = jnp.where(phase == _SIGN, cfg.sign_ctx, ctx)
+        idx = model_base + jnp.where(active, hsh_c2 + ctx, NS)
+
+        st8 = jnp.minimum(states[idx].astype(jnp.int32), 127)
+        prob = transform.STATE_PROB[st8]
+        range1 = (rng * prob) >> 8
+        rng0 = rng - range1
+        bit = (low >= rng0) & active
+        low2 = jnp.where(bit, low - rng0, low)
+        rng2 = jnp.where(active, jnp.where(bit, range1, rng0), rng)
+        refill = active & (rng2 < 0x100)
+        byte = read_byte(pos)
+        low3 = jnp.where(refill, (low2 << 8) | byte, low2)
+        rng3 = jnp.where(refill, rng2 << 8, rng2)
+        pos2 = jnp.where(refill, pos + 1, pos)
+
+        nst = transform.NEXT_STATE[st8 * 2 + bit.astype(jnp.int32)]
+        states = states.at[idx].set(nst.astype(jnp.uint8))
+
+        b = bit.astype(jnp.int32)
+        is_zf = (phase == _ZF) & active
+        is_exp = (phase == _EXP) & active
+        is_mant = (phase == _MANT) & active
+        is_sign = (phase == _SIGN) & active
+
+        value = jnp.where(is_zf, jnp.where(bit, 0, 1), value)
+        value = jnp.where(is_mant, 2 * value + b, value)
+        value = jnp.where(is_sign & bit, -value, value)
+
+        e2 = jnp.where(is_exp & bit, e + 1, e)
+        err = err | (e2 > 31)  # reference guard (`llcomp.hpp:232-234`)
+        ectx2 = jnp.where(is_exp & bit, ectx + 1, ectx)
+        mrem2 = jnp.where(is_exp & ~bit, e2, jnp.where(is_mant, mrem - 1, mrem))
+        mctx2 = jnp.where(is_mant, mctx + 1, mctx)
+
+        phase2 = phase
+        phase2 = jnp.where(is_zf, jnp.where(bit, _DONE, _EXP), phase2)
+        phase2 = jnp.where(is_exp & ~bit, jnp.where(e2 > 0, _MANT, _SIGN), phase2)
+        phase2 = jnp.where(is_mant & (mrem == 1), _SIGN, phase2)
+        phase2 = jnp.where(is_sign, _DONE, phase2)
+
+        done_now = active & (phase2 == _DONE)
+        diff = jnp.where(neg_c2, -value, value)
+        recon_p2 = jnp.where(done_now, predict_c2 + diff, recon_p)
+
+        return (states, lines, out, low3, rng3, pos2, k2, i2, w2, h2, row2,
+                phase2, value, e2, ectx2, mrem2, mctx2, hsh_c2, predict_c2,
+                neg_c2, done_now, recon_p2, err, it + 1)
+
+    def cond(st):
+        k, pending, err, it = st[6], st[20], st[22], st[23]
+        unfinished = (k < st[6].dtype.type(n_sym)) | pending
+        # safety bound: a valid stream never exceeds 24 decisions/symbol
+        return jnp.any(unfinished) & (it < n_sym * cfg.max_bins_per_symbol + 2)
+
+    low0 = (d32[:, 0] << 8) | d32[:, 1]
+    init = (
+        jnp.zeros((S * (NS + 1),), jnp.uint8),        # states
+        jnp.zeros((S * 3 * stride,), jnp.int32),      # lines
+        jnp.zeros((S * n_sym,), jnp.int32),           # out
+        low0,                                         # low
+        jnp.full((S,), 0xFF00, jnp.int32),            # range
+        jnp.full((S,), 2, jnp.int32),                 # pos
+        zero_i, zero_i, zero_i, zero_i, zero_i,       # k, i, w, h, row
+        jnp.full((S,), _DONE, jnp.int32),             # phase
+        zero_i, zero_i, jnp.ones((S,), jnp.int32),    # value, e, ectx
+        zero_i, jnp.full((S,), cfg.e_lim + 1, jnp.int32),  # mrem, mctx
+        zero_i, zero_i, jnp.zeros((S,), bool),        # hash, predict, neg
+        jnp.zeros((S,), bool),                        # pending writeback
+        zero_i,                                       # recon pending
+        jnp.zeros((S,), bool),                        # err
+        jnp.zeros((), jnp.int32),                     # iteration counter
+    )
+    final = jax.lax.while_loop(cond, step, init)
+    out, err = final[2], final[22]
+    # a lane that hit the iteration bound without finishing is corrupt
+    err = err | (final[6] < n_sym)
+    planes = out.reshape(S, H, W, C)
+    return planes, err
+
+
+# ===========================================================================
+# Symbol-lockstep engine (cross-check / fallback)
+# ===========================================================================
 
 
 @functools.lru_cache(maxsize=64)
@@ -74,18 +272,14 @@ def _line_at(lines, row, off):
     return sl.reshape(S)
 
 
-def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = REV2):
-    """data [S, cap] u8 (zero-padded) -> (planes [S, H, W, C] i32, err [S] bool).
-
-    Pure function (unjitted) for shard_map wrapping; ``_decode_scan`` below is
-    the jitted single-device entry point.
-    """
+def _decode_impl_lockstep(
+    data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = REV2
+):
+    """data [S, cap] u8 (zero-padded) -> (planes [S, H, W, C] i32, err [S] bool)."""
     S, cap = data.shape
     NS = cfg.num_states
     stride = W * C
     d32 = data.astype(jnp.int32)
-    # Flat 1-D gathers with absolute offsets: XLA:TPU compiles these fast,
-    # unlike 2-D batched gathers (docs/DESIGN.md).
     dflat = d32.reshape(-1)
     data_base = jnp.arange(S) * cap
     lane_base = jnp.arange(S) * (NS + 1)
@@ -123,15 +317,12 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
 
         q11, q5 = transform._QUANT11, transform._QUANT5
         hsh = (
-            q11[jnp.clip(l - tl, -128, 127) & 0xFF]
-            + q11[jnp.clip(tl - t, -128, 127) & 0xFF] * 11
-            + q11[jnp.clip(t - tr, -128, 127) & 0xFF] * 121
+            _quant_flat(q11, l - tl)
+            + _quant_flat(q11, tl - t) * 11
+            + _quant_flat(q11, t - tr) * 121
         )
         if cfg.large_model:
-            hsh = hsh + (
-                q5[jnp.clip(L - l, -128, 127) & 0xFF] * 605
-                + q5[jnp.clip(T - t, -128, 127) & 0xFF] * 3025
-            )
+            hsh = hsh + _quant_flat(q5, L - l) * 605 + _quant_flat(q5, T - t) * 3025
         predict = jnp.clip(l + t - tl, jnp.minimum(l, t), jnp.maximum(l, t))
         neg = hsh < 0
         base = jnp.where(neg, -hsh, hsh) * cfg.substates
@@ -140,8 +331,7 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
         def bin_step(_, st8):
             states, low, rng, pos, phase, value, e, ectx, mrem, mctx = st8
             active = phase != _DONE
-            ctx = jnp.where(phase == _ZF, 0, 0)
-            ctx = jnp.where(phase == _EXP, jnp.minimum(ectx, cfg.e_lim), ctx)
+            ctx = jnp.where(phase == _EXP, jnp.minimum(ectx, cfg.e_lim), 0)
             ctx = jnp.where(phase == _MANT, jnp.minimum(mctx, cfg.r_lim), ctx)
             ctx = jnp.where(phase == _SIGN, cfg.sign_ctx, ctx)
             idx = lane_base + jnp.where(active, base + ctx, NS)
@@ -155,7 +345,7 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
             rng2 = jnp.where(active, jnp.where(bit, range1, rng0), rng)
             refill = active & (rng2 < 0x100)
             byte = read_byte(pos)
-            low3 = jnp.where(refill, ((low2 << 8) | byte) & 0xFFFFFF, low2)
+            low3 = jnp.where(refill, (low2 << 8) | byte, low2)
             rng3 = jnp.where(refill, rng2 << 8, rng2)
             pos2 = jnp.where(refill, pos + 1, pos)
 
@@ -163,7 +353,6 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
             states = states.at[idx].set(nst.astype(jnp.uint8))
 
             b = bit.astype(jnp.int32)
-            # phase transitions
             is_zf = phase == _ZF
             is_exp = phase == _EXP
             is_mant = phase == _MANT
@@ -222,6 +411,9 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
 
 
 _decode_scan = jax.jit(_decode_impl, static_argnames=("H", "W", "C", "cfg"))
+_decode_scan_lockstep = jax.jit(
+    _decode_impl_lockstep, static_argnames=("H", "W", "C", "cfg")
+)
 
 
 def _bucket_cap(n: int, quantum: int = 4096) -> int:
@@ -229,7 +421,8 @@ def _bucket_cap(n: int, quantum: int = 4096) -> int:
 
 
 def decode_lanes(
-    streams: list[bytes], shape: tuple[int, int, int], cfg: CodecConfig = REV2
+    streams: list[bytes], shape: tuple[int, int, int], cfg: CodecConfig = REV2,
+    engine: str = "decision",
 ) -> np.ndarray:
     """Decode equal-geometry headerless streams -> images [S, H, W, C] u8."""
     H, W, C = shape
@@ -238,8 +431,9 @@ def decode_lanes(
     data = np.zeros((S, cap), dtype=np.uint8)
     for s, blob in enumerate(streams):
         data[s, : len(blob)] = np.frombuffer(blob, dtype=np.uint8)
-    planes, err = _decode_scan(jnp.asarray(data), H, W, C, cfg)
+    fn = _decode_scan if engine == "decision" else _decode_scan_lockstep
+    planes, err = fn(jnp.asarray(data), H, W, C, cfg)
     if bool(np.asarray(err).any()):
         bad = np.nonzero(np.asarray(err))[0].tolist()
-        raise ValueError(f"corrupt stream: symbol overran 24 decisions in lanes {bad}")
+        raise ValueError(f"corrupt stream in lanes {bad}")
     return np.asarray(transform.rct_inverse(planes))

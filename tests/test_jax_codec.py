@@ -79,3 +79,24 @@ def test_decode_reference_stream(ref_oracle):
     blob = ref_oracle.encode(img)
     out = jdec.decode_lanes([blob[6:]], img.shape)
     np.testing.assert_array_equal(out[0], img)
+
+
+def test_decode_engines_agree():
+    """decision-outer and symbol-lockstep engines produce identical output."""
+    lanes = [make_photo(8, 16, seed=50 + i) for i in range(3)] + [
+        make_noise(8, 16, seed=1), np.full((8, 16, 3), 9, np.uint8)
+    ]
+    streams = [oracle.encode(l)[6:] for l in lanes]
+    a = jdec.decode_lanes(streams, (8, 16, 3), engine="decision")
+    b = jdec.decode_lanes(streams, (8, 16, 3), engine="lockstep")
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, np.stack(lanes))
+
+
+def test_decode_malicious_exponent_raises():
+    """A stream coding >31 exponent ones must raise, like the reference."""
+    from tests.test_native import _malicious_stream
+
+    for engine in ("decision", "lockstep"):
+        with pytest.raises(ValueError):
+            jdec.decode_lanes([_malicious_stream()], (4, 4, 3), engine=engine)
