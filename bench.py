@@ -82,7 +82,7 @@ def main() -> int:
     runs_h = np.asarray(runs)
     from llcomp_tpu import coder
 
-    streams = [coder.expand_slots(meta_h[:, s], runs_h[:, s]) for s in range(S)]
+    streams = coder.expand_slots_batch(meta_h, runs_h)
     host_s = time.time() - t0
 
     enc_mps_device = mp_total / enc_device_s

@@ -113,6 +113,31 @@ def finish_steps(carry):
 # --------------------------------------------------------------------------
 
 
+def expand_slots_batch(meta: np.ndarray, runs: np.ndarray) -> list[bytes]:
+    """[T, S] slot records -> per-lane byte streams, one vectorized pass.
+
+    Lane-major flattening keeps each lane's slots contiguous, so a single
+    np.repeat over all lanes followed by head-byte placement reconstructs
+    every stream; per-lane totals split the result.
+    """
+    m = np.ascontiguousarray(meta.T)         # [S, T]
+    r = np.ascontiguousarray(runs.T)
+    sel = (m & 1) == 1
+    lens_all = np.where(sel, 1 + r.astype(np.int64), 0)
+    per_lane = lens_all.sum(axis=1)
+
+    sel_f = sel.reshape(-1)
+    heads = ((m.reshape(-1)[sel_f] >> 8) & 0xFF).astype(np.uint8)
+    fills = np.where(m.reshape(-1)[sel_f] & 2, 0x00, 0xFF).astype(np.uint8)
+    lens = lens_all.reshape(-1)[sel_f]
+
+    out = np.repeat(fills, lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    out[starts] = heads
+    bounds = np.concatenate([[0], np.cumsum(per_lane)])
+    return [out[bounds[s] : bounds[s + 1]].tobytes() for s in range(m.shape[0])]
+
+
 def expand_slots(meta: np.ndarray, runs: np.ndarray) -> bytes:
     """[T] slot records of one lane -> the lane's byte stream.
 

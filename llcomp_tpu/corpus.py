@@ -1,0 +1,159 @@
+"""Corpus (multi-image) encode/decode: the batched production path.
+
+Packs stripes from *many images* into shared lockstep batches so the device
+scans always run at full lane occupancy (single images rarely have enough
+stripes to fill the VPU).  Images are grouped by stripe geometry; each group
+becomes one (or a few) device batches.  Per-image containers are reassembled
+in order, so the output is indistinguishable from per-image compression.
+
+This is the TPU analog of the reference CLI's one-file-at-a-time loop
+(`llcompc.cpp:14-43`) at production scale, and the unit the multi-host path
+shards: each host takes a contiguous span of the corpus manifest.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from . import api, container
+from .core.config import REV2, CodecConfig
+
+
+@dataclasses.dataclass
+class CorpusStats:
+    """Structured per-batch observability (SURVEY §5: metrics/logging)."""
+
+    images: int = 0
+    pixels: int = 0
+    raw_bytes: int = 0
+    compressed_bytes: int = 0
+    lanes: int = 0
+    batches: int = 0
+    encode_s: float = 0.0
+
+    @property
+    def ratio(self) -> float:
+        return self.raw_bytes / max(1, self.compressed_bytes)
+
+    @property
+    def bpp(self) -> float:
+        return 8.0 * self.compressed_bytes / max(1, self.pixels)
+
+    @property
+    def mps(self) -> float:
+        return self.pixels / 1e6 / max(1e-9, self.encode_s)
+
+    def as_dict(self) -> dict:
+        return {
+            "images": self.images,
+            "pixels": self.pixels,
+            "raw_bytes": self.raw_bytes,
+            "compressed_bytes": self.compressed_bytes,
+            "ratio": round(self.ratio, 3),
+            "bpp": round(self.bpp, 3),
+            "mps": round(self.mps, 3),
+            "lanes": self.lanes,
+            "batches": self.batches,
+            "encode_s": round(self.encode_s, 3),
+        }
+
+
+def _stripe_plan(shapes, slice_h):
+    """Group (image_idx, y0, y1) stripes by (rows, W, C) for lockstep batching."""
+    groups: dict[tuple[int, int, int], list[tuple[int, int, int]]] = {}
+    for idx, (H, W, C) in enumerate(shapes):
+        for y0, y1 in container.slice_bounds(H, slice_h):
+            groups.setdefault((y1 - y0, W, C), []).append((idx, y0, y1))
+    return groups
+
+
+def compress_corpus(
+    images: list[np.ndarray],
+    slice_h: int = 8,
+    cfg: CodecConfig = REV2,
+    max_lanes_per_batch: int = 2048,
+    mesh=None,
+) -> tuple[list[bytes], CorpusStats]:
+    """Compress many images -> per-image sliced containers + stats.
+
+    Stripes from all images share device batches (grouped by geometry, capped
+    at ``max_lanes_per_batch`` lanes per dispatch).
+    """
+    from . import encode as jenc
+
+    images = [api._as_image(im) for im in images]
+    stats = CorpusStats(images=len(images))
+    shapes = [im.shape for im in images]
+    groups = _stripe_plan(shapes, slice_h)
+
+    t0 = time.perf_counter()
+    per_image: list[list[bytes | None]] = [
+        [None] * len(container.slice_bounds(s[0], slice_h)) for s in shapes
+    ]
+    slice_of: list[dict[int, int]] = [dict() for _ in shapes]
+    for idx, s in enumerate(shapes):
+        for j, (y0, y1) in enumerate(container.slice_bounds(s[0], slice_h)):
+            slice_of[idx][y0] = j
+
+    for (rows, W, C), members in groups.items():
+        for start in range(0, len(members), max_lanes_per_batch):
+            chunk = members[start : start + max_lanes_per_batch]
+            lanes = np.stack([images[i][y0:y1] for i, y0, y1 in chunk])
+            if mesh is not None:
+                from . import parallel
+
+                streams = parallel.encode_lanes_sharded(lanes, mesh, cfg)
+            else:
+                streams = jenc.encode_lanes(lanes, cfg)
+            for (i, y0, y1), blob in zip(chunk, streams):
+                per_image[i][slice_of[i][y0]] = blob
+            stats.lanes += len(chunk)
+            stats.batches += 1
+    stats.encode_s = time.perf_counter() - t0
+
+    blobs = []
+    for idx, im in enumerate(images):
+        H, W, C = im.shape
+        blob = container.pack_sliced(per_image[idx], W, H, C, slice_h, cfg)
+        blobs.append(blob)
+        stats.pixels += H * W
+        stats.raw_bytes += im.nbytes
+        stats.compressed_bytes += len(blob)
+    return blobs, stats
+
+
+def decompress_corpus(
+    blobs: list[bytes], cfg: CodecConfig = REV2, max_lanes_per_batch: int = 2048,
+    mesh=None,
+) -> list[np.ndarray]:
+    """Decompress many sliced containers, batching stripes across images."""
+    from . import decode as jdec
+
+    metas = [container.unpack_sliced(b, cfg) for b in blobs]
+    groups: dict[tuple[int, int, int], list[tuple[int, int, bytes]]] = {}
+    for idx, (streams, W, H, C, slice_h) in enumerate(metas):
+        for j, (y0, y1) in enumerate(container.slice_bounds(H, slice_h)):
+            groups.setdefault((y1 - y0, W, C), []).append((idx, j, streams[j]))
+
+    outs = [
+        np.empty((H, W, C), dtype=np.uint8)
+        for (_, W, H, C, _) in metas
+    ]
+    for (rows, W, C), members in groups.items():
+        for start in range(0, len(members), max_lanes_per_batch):
+            chunk = members[start : start + max_lanes_per_batch]
+            if mesh is not None:
+                from . import parallel
+
+                lanes = parallel.decode_lanes_sharded(
+                    [m[2] for m in chunk], (rows, W, C), mesh, cfg
+                )
+            else:
+                lanes = jdec.decode_lanes([m[2] for m in chunk], (rows, W, C), cfg)
+            for (idx, j, _), lane in zip(chunk, lanes):
+                _, _, H, _, slice_h = metas[idx]
+                y0 = j * metas[idx][4]
+                outs[idx][y0 : y0 + rows] = lane
+    return outs

@@ -77,9 +77,7 @@ def encode_lanes_sharded(
         )
     )
     meta, runs = fn(dev_lanes)
-    meta = np.asarray(meta)
-    runs = np.asarray(runs)
-    return [coder.expand_slots(meta[:, s], runs[:, s]) for s in range(S)]
+    return coder.expand_slots_batch(np.asarray(meta), np.asarray(runs))[:S]
 
 
 def decode_lanes_sharded(

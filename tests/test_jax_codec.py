@@ -100,3 +100,15 @@ def test_decode_malicious_exponent_raises():
     for engine in ("decision", "lockstep"):
         with pytest.raises(ValueError):
             jdec.decode_lanes([_malicious_stream()], (4, 4, 3), engine=engine)
+
+
+def test_encode_pipelines_agree():
+    """Model-free (sort + segmented walk) vs model-in-scan: identical slots."""
+    lanes = np.stack(
+        [make_photo(8, 16, seed=70 + i) for i in range(2)] + [make_noise(8, 16)]
+    )
+    cap = jenc._bucket(int(np.asarray(jenc._count(lanes)).max()))
+    a = jenc._pipeline(lanes, cap)
+    b = jenc._pipeline_modelscan(lanes, cap)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
