@@ -37,15 +37,23 @@ def pick_slice_height(height: int, width: int, channels: int,
 
 
 def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
-             backend: str = "jax") -> bytes:
+             backend: str = "jax", revision: int = 2) -> bytes:
     """Compress a uint8 [H, W, C] image.
 
     slices=None/1 -> reference-compatible single stream (bit-exact vs llcompc).
     slices='auto' or an int n -> sliced container with n independent stripes,
     encoded lane-parallel on the accelerator.
+    revision=0 -> the legacy llcomp.js bitstream (magic 0x77, float model).
     """
     img = _as_image(img)
     H, W, C = img.shape
+
+    if revision == 0:
+        from . import rev0
+
+        return rev0.encode(img)
+    if revision != 2:
+        raise ValueError(f"unsupported revision {revision}")
 
     if slices in (None, 1):
         if backend == "oracle":
@@ -95,6 +103,11 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax") -> np
         streams, W, H, C, slice_h = container.unpack_sliced(data, cfg)
         bounds = container.slice_bounds(H, slice_h)
         return decode_stripes(streams, bounds, W, C, cfg)
+
+    if data[:1] == b"\x77":  # legacy revision-0 stream (llcomp.js)
+        from . import rev0
+
+        return rev0.decode(data)
 
     payload, W, H, C = container.unpack_single(data, cfg)
     if backend == "oracle":

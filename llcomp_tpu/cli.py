@@ -32,7 +32,9 @@ def _cmd_compress(args) -> int:
     if slices not in (None, "auto"):
         slices = int(slices)
     t0 = time.perf_counter()
-    blob = api.compress(img, slices=slices, backend=args.backend)
+    blob = api.compress(
+        img, slices=slices, backend=args.backend, revision=args.revision
+    )
     dt = time.perf_counter() - t0
     out = pathlib.Path(
         args.output
@@ -75,6 +77,11 @@ def _cmd_info(args) -> int:
               f"{8 * len(data) / (w * h):.3f} bpp")
         lens = [len(s) for s in streams]
         print(f"  slice bytes: min {min(lens)}, max {max(lens)}")
+    elif data[:1] == b"\x77":
+        c, w, h = data[1], data[2] | (data[3] << 8), data[4] | (data[5] << 8)
+        print("single stream (legacy revision 0, llcomp.js format)")
+        print(f"  {w}x{h}x{c}, payload {len(data) - 6} bytes, "
+              f"{8 * len(data) / (w * h):.3f} bpp")
     else:
         payload, w, h, c = container.unpack_single(data)
         print("single stream (rev 2, reference-compatible)")
@@ -93,6 +100,8 @@ def main(argv=None) -> int:
     pc.add_argument("--slices", default=None,
                     help="'auto' or stripe count; omit for reference format")
     pc.add_argument("--backend", default="jax", choices=["jax", "oracle", "native"])
+    pc.add_argument("--revision", type=int, default=2, choices=[0, 2],
+                    help="bitstream revision: 2 (default) or legacy 0 (llcomp.js)")
     pc.set_defaults(fn=_cmd_compress)
 
     pd = sub.add_parser("decompress", help=".llcomp/.llct -> image")
