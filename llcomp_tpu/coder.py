@@ -109,19 +109,99 @@ def finish_steps(carry):
 
 
 # --------------------------------------------------------------------------
+# Device-side slot expansion (sorts + associative scan; no scatters)
+# --------------------------------------------------------------------------
+
+
+def expand_slots_on_device(meta: jnp.ndarray, runs: jnp.ndarray, outcap: int):
+    """Lane-major slot records [S, T] -> (bytes [S, outcap] u8, lens [S]).
+
+    Fully on-device: the slot arrays (which can be GBs) never leave HBM; only
+    the final byte buffers transfer.  All data movement is expressed as
+    ``lax.sort`` + an associative forward-fill (the target backend sorts 67M
+    elements in ~0.4 ms while XLA scatter/gather of the same volume
+    serializes to seconds):
+
+      1. compact emitting slots to the front of each lane (sort by offset);
+      2. sandwich-sort slot entries (even keys 2*offset) with one probe per
+         output byte position (odd keys 2*p+1);
+      3. associative forward-fill carries each probe the latest preceding
+         slot's (head, fill, offset);
+      4. byte = head if the probe sits exactly at the slot's offset, else the
+         run-fill value; a final sort extracts probes in position order.
+    """
+    S, T = meta.shape
+    BIG = jnp.int32(1 << 30)
+
+    emit = (meta & 1) == 1
+    length = jnp.where(emit, 1 + runs, 0)
+    ends = jnp.cumsum(length, axis=1)
+    offs = ends - length
+    lens = ends[:, -1]
+
+    # 1. compact emitting slots (offsets are strictly increasing per lane)
+    key1 = jnp.where(emit, offs, BIG)
+    head = (meta >> 8) & 0xFF
+    fill = jnp.where((meta & 2) != 0, 0, 0xFF)
+    k1, ch, cf = jax.lax.sort((key1, head, fill), dimension=1, num_keys=1)
+    k1, ch, cf = k1[:, :outcap], ch[:, :outcap], cf[:, :outcap]
+
+    # 2. sandwich with probes
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, outcap), 1)
+    probe_k = jnp.broadcast_to(p * 2 + 1, (S, outcap))
+    slot_k = jnp.where(k1 < BIG, k1 * 2, BIG)
+    zeros = jnp.zeros((S, outcap), jnp.int32)
+    keys = jnp.concatenate([slot_k, probe_k], axis=1)
+    heads = jnp.concatenate([ch, zeros], axis=1)
+    fills = jnp.concatenate([cf, zeros], axis=1)
+    offsv = jnp.concatenate([jnp.where(k1 < BIG, k1, -1), zeros - 1], axis=1)
+    sk, sh, sf, so = jax.lax.sort(
+        (keys, heads, fills, offsv), dimension=1, num_keys=1
+    )
+
+    # 3. forward-fill the latest slot entry (associative "last valid")
+    def comb(a, b):
+        ah, af, ao = a
+        bh, bf, bo = b
+        take_b = bo >= 0
+        return (
+            jnp.where(take_b, bh, ah),
+            jnp.where(take_b, bf, af),
+            jnp.where(take_b, bo, ao),
+        )
+
+    fh, ff, fo = jax.lax.associative_scan(comb, (sh, sf, so), axis=1)
+
+    # 4. probe bytes, extracted in position order
+    is_probe = (sk & 1) == 1
+    pp = sk >> 1
+    byte = jnp.where(fo == pp, fh, ff)
+    k2 = jnp.where(is_probe, pp, BIG)
+    _, ob = jax.lax.sort((k2, byte), dimension=1, num_keys=1)
+    return ob[:, :outcap].astype(jnp.uint8), lens
+
+
+# --------------------------------------------------------------------------
 # Host-side slot expansion (NumPy; vectorized run-length fill)
 # --------------------------------------------------------------------------
 
 
-def expand_slots_batch(meta: np.ndarray, runs: np.ndarray) -> list[bytes]:
+def expand_slots_batch(
+    meta: np.ndarray, runs: np.ndarray, lane_major: bool = False
+) -> list[bytes]:
     """[T, S] slot records -> per-lane byte streams, one vectorized pass.
 
     Lane-major flattening keeps each lane's slots contiguous, so a single
     np.repeat over all lanes followed by head-byte placement reconstructs
-    every stream; per-lane totals split the result.
+    every stream; per-lane totals split the result.  Pass ``lane_major=True``
+    when the arrays are already [S, T].
     """
-    m = np.ascontiguousarray(meta.T)         # [S, T]
-    r = np.ascontiguousarray(runs.T)
+    if lane_major:
+        m = np.ascontiguousarray(meta)
+        r = np.ascontiguousarray(runs)
+    else:
+        m = np.ascontiguousarray(meta.T)     # [S, T]
+        r = np.ascontiguousarray(runs.T)
     sel = (m & 1) == 1
     lens_all = np.where(sel, 1 + r.astype(np.int64), 0)
     per_lane = lens_all.sum(axis=1)

@@ -420,13 +420,51 @@ def _bucket_cap(n: int, quantum: int = 4096) -> int:
     return max(quantum, -(-(n + 64) // quantum) * quantum)
 
 
-def decode_lanes(
-    streams: list[bytes], shape: tuple[int, int, int], cfg: CodecConfig = REV2,
-    engine: str = "decision",
+def _decode_lanes_pallas(
+    streams: list[bytes], shape: tuple[int, int, int], cfg: CodecConfig
 ) -> np.ndarray:
-    """Decode equal-geometry headerless streams -> images [S, H, W, C] u8."""
+    from .pallas import decode_kernel as dk
+
     H, W, C = shape
     S = len(streams)
+    n_sym = H * W * C
+    G = -(-S // dk.LANES)
+    cap = _bucket_cap(max((len(s) for s in streams), default=0))
+    data = np.zeros((G, cap, dk.LANES), dtype=np.uint8)
+    for s, blob in enumerate(streams):
+        data[s // dk.LANES, : len(blob), s % dk.LANES] = np.frombuffer(
+            blob, dtype=np.uint8
+        )
+    planes, err = dk.decode_groups(jnp.asarray(data), H, W, C, cfg)
+    lane_err = np.asarray(err)[:, 0, :].reshape(G * dk.LANES)[:S]
+    if lane_err.any():
+        raise ValueError(
+            f"corrupt stream in lanes {np.nonzero(lane_err)[0].tolist()}"
+        )
+    out = (
+        np.asarray(planes)[:, :n_sym, :]
+        .transpose(0, 2, 1)
+        .reshape(G * dk.LANES, H, W, C)[:S]
+    )
+    return np.asarray(transform.rct_inverse(jnp.asarray(out)))
+
+
+def decode_lanes(
+    streams: list[bytes], shape: tuple[int, int, int], cfg: CodecConfig = REV2,
+    engine: str = "auto",
+) -> np.ndarray:
+    """Decode equal-geometry headerless streams -> images [S, H, W, C] u8.
+
+    engine: 'pallas' (fused kernel, default on TPU), 'decision'
+    (while_loop, per-lane pacing), 'lockstep' (fixed 24-step inner loop),
+    or 'auto'.
+    """
+    H, W, C = shape
+    S = len(streams)
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "decision"
+    if engine == "pallas":
+        return _decode_lanes_pallas(streams, shape, cfg)
     cap = _bucket_cap(max((len(s) for s in streams), default=0))
     data = np.zeros((S, cap), dtype=np.uint8)
     for s, blob in enumerate(streams):

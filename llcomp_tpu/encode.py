@@ -178,21 +178,144 @@ def _pipeline_impl_modelscan(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV
     return meta, runs
 
 
+def _decision_stream(imgs: jnp.ndarray, T: int, cfg: CodecConfig):
+    """[S, H, W, C] -> uncompacted decision stream [S, T].
+
+    Each element packs ``cidx*2 + bit`` for a valid decision or -1 padding;
+    stream order with fixed 24 slots per symbol (invalid slots interleaved).
+    No compaction: the measured cost of the big packing scatter (~12 ns per
+    element, serialized) exceeds the cost of simply running the fused scans
+    over the 2-4x longer masked stream.
+    """
+    S = imgs.shape[0]
+    v = transform.rct_forward(imgs)
+    hash_, diff = transform.context_and_residual(v, cfg)
+    ctx, bit, valid, _ = transform.binarize(diff.reshape(S, -1), cfg)
+    cidx = hash_.reshape(S, -1, 1) * cfg.substates + ctx
+    packed = jnp.where(valid, (cidx << 1) | bit, -1).reshape(S, -1)
+    n = packed.shape[1]
+    if n < T:
+        packed = jnp.pad(packed, ((0, 0), (0, T - n)), constant_values=-1)
+    return packed
+
+
+def _sorted_probs(stream: jnp.ndarray, walk, cfg: CodecConfig):
+    """Per-decision coding probabilities via sort / segmented walk / sort-back.
+
+    Permutations are applied with ``lax.sort`` in both directions (multi-
+    operand, key-first): this chip sorts 67M elements in ~0.4 ms while XLA
+    gather/scatter of the same volume serializes to seconds (docs/DESIGN.md).
+    ``walk`` maps (sorted bits | seg<<1) [S, T] -> probabilities [S, T].
+    """
+    S, T = stream.shape
+    key = jnp.where(stream >= 0, stream >> 1, jnp.int32(1 << 22))
+    pos = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, T), 1), (S, T)
+    )
+    skey, sortedp, spos = jax.lax.sort(
+        (key, stream, pos), dimension=1, is_stable=True, num_keys=1
+    )
+    prev = jnp.concatenate(
+        [jnp.full((S, 1), -2, jnp.int32), skey[:, :-1]], axis=1
+    )
+    seg = (skey != prev).astype(jnp.int32)
+    probs_sorted = walk((sortedp & 1) | (seg << 1))
+    _, probs = jax.lax.sort(
+        (spos, probs_sorted), dimension=1, is_stable=False, num_keys=1
+    )
+    return probs
+
+
+def _pipeline_impl_pallas(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2):
+    """Model-free encode with the two hot scans fused as Pallas kernels.
+
+    ``cap`` is ignored (kept for signature compatibility): the Pallas path
+    runs over the full uncompacted 24-slot stream, whose length is a pure
+    function of the lane shape — one compile per shape, no decision counting.
+    Returns lane-major (meta, runs) [Sp, T + 2] including the two
+    finish-flush slots; Sp pads S to the kernel lane-group (padding lanes
+    carry only invalid decisions and are dropped by the caller).
+    """
+    from .pallas import encode_kernels as pk
+
+    S = imgs.shape[0]
+    n_sym = int(np.prod(imgs.shape[1:]))
+    T = -(-(n_sym * cfg.max_bins_per_symbol) // pk.TCHUNK) * pk.TCHUNK
+    stream = _decision_stream(imgs, T, cfg)
+    Sp = -(-S // pk.GROUP) * pk.GROUP
+    if Sp != S:
+        stream = jnp.concatenate(
+            [stream, jnp.full((Sp - S, T), -1, jnp.int32)]
+        )
+
+    def walk(xs):
+        return pk.from_groups(pk.walk_probs(pk.to_groups(xs)))
+
+    probs = _sorted_probs(stream, walk, cfg)
+
+    coder_xs = jnp.where(
+        stream >= 0,
+        (probs & 0xFF) | ((stream & 1) << 8) | (1 << 9),
+        0,
+    )
+    meta_g, runs_g, fin = pk.coder_scan(pk.to_groups(coder_xs))
+    meta = pk.from_groups(meta_g)                          # [Sp, T]
+    runs = pk.from_groups(runs_g)
+
+    fin = fin.reshape(Sp // pk.GROUP, 4, pk.GROUP)
+    carry = tuple(fin[:, i].reshape(Sp) for i in range(4))
+    fmeta, fruns = coder.finish_steps(carry)               # [2, Sp]
+    meta = jnp.concatenate([meta, fmeta.T], axis=1)
+    runs = jnp.concatenate([runs, fruns.T], axis=1)
+    return meta, runs
+
+
+def _pipeline_impl_pallas_bytes(
+    imgs: jnp.ndarray, outcap: int, cfg: CodecConfig = REV2
+):
+    """Pallas encode all the way to per-lane byte buffers on device.
+
+    Slot records (GBs for big batches) never leave HBM; only the compacted
+    [Sp, outcap] byte buffers and per-lane lengths transfer to the host.
+    """
+    meta, runs = _pipeline_impl_pallas(imgs, 0, cfg)
+    return coder.expand_slots_on_device(meta, runs, outcap)
+
+
 _pipeline = jax.jit(_pipeline_impl, static_argnames=("cap", "cfg"))
 _pipeline_modelscan = jax.jit(
     _pipeline_impl_modelscan, static_argnames=("cap", "cfg")
 )
+_pipeline_pallas = jax.jit(_pipeline_impl_pallas, static_argnames=("cap", "cfg"))
+_pipeline_pallas_bytes = jax.jit(
+    _pipeline_impl_pallas_bytes, static_argnames=("outcap", "cfg")
+)
+
+
+def _outcap(n_sym: int) -> int:
+    """Per-lane compressed-size bound, bucketed (raw + raw/2 + 64)."""
+    return -(-(n_sym + n_sym // 2 + 64) // 1024) * 1024
 
 
 def encode_lanes(
-    imgs: np.ndarray, cfg: CodecConfig = REV2
+    imgs: np.ndarray, cfg: CodecConfig = REV2, engine: str = "auto"
 ) -> list[bytes]:
     """Encode a batch of equal-shaped lanes [S, H, W, C] -> per-lane streams.
 
     Each returned byte string is a complete headerless rev-2 entropy stream
     (the caller prepends the 6-byte header or records it in a container).
+    engine: 'pallas' (fused kernels, default on TPU), 'xla', or 'auto'.
     """
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    S = imgs.shape[0]
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if engine == "pallas":
+        n_sym = int(np.prod(imgs.shape[1:]))
+        byts, lens = _pipeline_pallas_bytes(imgs, _outcap(n_sym), cfg)
+        byts = np.asarray(byts)
+        lens = np.asarray(lens)
+        return [byts[s, : lens[s]].tobytes() for s in range(S)]
     counts = np.asarray(_count(imgs, cfg))
     cap = _bucket(int(counts.max()))
     meta, runs = _pipeline(imgs, cap, cfg)

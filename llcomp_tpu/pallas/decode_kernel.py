@@ -1,0 +1,369 @@
+"""Fused Pallas TPU decode kernel.
+
+Decode is the hardest part of the codec to accelerate: the adaptive model is
+8 MB *per 128 lanes*, every decision both reads and writes it at a
+data-dependent address, and the byte stream is consumed at a data-dependent
+rate.  XLA formulations bottom out at ~0.3 MP/s on this backend because
+per-lane gathers/scatters serialize (docs/DESIGN.md).  This kernel keeps
+everything resident in VMEM for a group of 128 lanes and exploits the one
+fast dynamic-indexing primitive Mosaic offers (same-shape ``dynamic_gather``
+along sublanes or lanes) plus cheap scalar-core copies:
+
+* **model**: [NS/4, 128] int32 (4 packed sub-states per word, one lane per
+  column).  A symbol's 8 sub-states = 2 words per lane, staged in/out with a
+  128-iteration scalar loop (2 loads + 2 stores each) — the only true
+  random access, paid once per symbol instead of once per decision;
+* **sub-state selection** inside a symbol: the staged block is (8, 128), so
+  reading the active context's state is a sublane ``dynamic_gather`` and
+  writing it back is a sublane-one-hot select — both pure vector ops;
+* **byte input**: per-lane absolute 32-byte windows ([8, 128] int32 words),
+  refilled by scalar copies when a lane's cursor nears the window end
+  (a symbol consumes at most 24 bytes); decision-time fetch is a sublane
+  gather + variable shift;
+* **reconstruction ring** (3 rows) lives in VMEM; all lanes decode the same
+  stripe geometry in lockstep, so neighbor I/O uses shared scalar offsets;
+* **output** is buffered 8 symbols at a time and flushed as aligned (8, 128)
+  tiles (measured: unaligned single-row VMEM stores cost ~1.5 us).
+
+Bitstream semantics are the reference's exactly: decoder loop
+`llcomp.hpp:486-545`, getSymbol `llcomp.hpp:219-247`, range decoder
+`llcomp.hpp:91-127` (zeros past end-of-stream), exponent>31 raises.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import tables
+from ..core.config import REV2, CodecConfig
+
+LANES = 128
+SYMCHUNK = 256        # symbols per grid step (multiple of 8)
+NS4 = (REV2.num_states + 8) // 4 + 8   # packed model words per lane (+trash row)
+
+_ZF, _EXP, _MANT, _SIGN, _DONE = 0, 1, 2, 3, 4
+
+
+def _b(row: np.ndarray) -> np.ndarray:
+    """Broadcast a 128-entry table to the (1, 128) lookup-block shape."""
+    return np.asarray(row, dtype=np.int32).reshape(1, LANES)
+
+
+_PROB = _b(tables.STATE_PROB)
+_NS0 = _b(tables.NEXT_STATE[0::2])
+_NS1 = _b(tables.NEXT_STATE[1::2])
+_Q11_LO = _b(tables.QUANT11[:128])
+_Q11_HI = _b(tables.QUANT11[128:])
+_Q5_LO = _b(tables.QUANT5[:128])
+_Q5_HI = _b(tables.QUANT5[128:])
+
+
+def _lut(table_block, idx):
+    """(1,128) 128-entry lookup via lane-axis dynamic_gather."""
+    return jnp.take_along_axis(table_block, idx, axis=1)
+
+
+def _quant(lo_tab, hi_tab, d):
+    idx = jnp.clip(d, -128, 127) & 0xFF
+    return jnp.where(
+        idx < 128, _lut(lo_tab, idx), _lut(hi_tab, jnp.maximum(idx - 128, 0))
+    )
+
+
+def _sublane_gather(block, idx):
+    """block (8,128), idx (1,128) in [0,8) -> (1,128): block[idx[l], l]."""
+    idx_b = jnp.broadcast_to(idx, (8, LANES))
+    return jnp.take_along_axis(block, idx_b, axis=0)[0:1, :]
+
+
+def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig):
+    stride = W * C
+    n_sym = H * W * C
+
+    def kernel(data_ref,                      # [1, cap/4, 128] i32 (packed bytes LE)
+               ptab, ns0tab, ns1tab, q11lo, q11hi, q5lo, q5hi,   # (1,128) tables
+               planes_ref,                    # [1, SYMCHUNK, 128] i32 out
+               err_ref,                       # [1, 8, 128] i32 out (sticky flags)
+               model_ref,                     # [NS4, 128] i32 scratch
+               lines_ref,                     # [3*stride, 128] i32 scratch
+               wind_ref,                      # [8, 128] i32 scratch: byte window
+               iobuf_ref,                     # [8, 128] i32 scratch: staging
+               outbuf_ref,                    # [8, 128] i32 scratch: planes buffer
+               state_ref):                    # [8, 128] i32 scratch: coder state
+        chunk = pl.program_id(1)
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        ptab_v = ptab[:]
+        ns0_v = ns0tab[:]
+        ns1_v = ns1tab[:]
+        q11lo_v = q11lo[:]
+        q11hi_v = q11hi[:]
+        q5lo_v = q5lo[:]
+        q5hi_v = q5hi[:]
+
+        @pl.when(chunk == 0)
+        def _init():
+            model_ref[:] = jnp.zeros((NS4, LANES), jnp.int32)
+            lines_ref[:] = jnp.zeros((3 * stride, LANES), jnp.int32)
+            err_ref[0] = jnp.zeros((8, LANES), jnp.int32)
+            w0 = data_ref[0, 0:1, :]
+            b0 = w0 & 0xFF
+            b1 = (w0 >> 8) & 0xFF
+            # rows of state_ref: 0=low 1=range 2=dpos 3=wbase
+            state_ref[0:1, :] = (b0 << 8) | b1
+            state_ref[1:2, :] = jnp.full((1, LANES), 0xFF00, jnp.int32)
+            state_ref[2:3, :] = jnp.full((1, LANES), 2, jnp.int32)
+            state_ref[3:4, :] = jnp.full((1, LANES), -64, jnp.int32)  # force refill
+            state_ref[4:8, :] = jnp.zeros((4, LANES), jnp.int32)
+
+        def sym_body(k, _):
+            sym = chunk * SYMCHUNK + k
+
+            @pl.when(sym < n_sym)
+            def _():
+                i = sym % C
+                w = (sym // C) % W
+                h = sym // (W * C)
+                off = w * C + i
+                cur = (h % 3) * stride
+                up = ((h + 2) % 3) * stride
+                upup = ((h + 1) % 3) * stride
+
+                # ---- byte-window refill (scalar, per lane, conditional) --
+                # window covers bytes [wbase, wbase+32); a symbol consumes
+                # at most 24 bytes, so refill when dpos > wbase + 8.
+                def refill(l, _):
+                    dpos = state_ref[2, l]
+                    wbase = state_ref[3, l]
+
+                    @pl.when(dpos - wbase > 8)
+                    def _():
+                        # clamp so corrupt/overrun streams read the zero tail
+                        nb = jnp.minimum((dpos // 4) * 4, cap - 32)
+                        state_ref[3, l] = nb
+                        w4 = nb // 4
+                        for j in range(8):
+                            wind_ref[j, l] = data_ref[0, w4 + j, l]
+                    return 0
+
+                jax.lax.fori_loop(0, LANES, refill, 0, unroll=2)
+
+                # ---- neighbors (lane-uniform offsets) --------------------
+                def line(base, o):
+                    return lines_ref[pl.ds(base + o, 1), :]
+
+                om1 = jnp.maximum(off - C, 0)
+                om2 = jnp.maximum(off - 2 * C, 0)
+                op1 = jnp.minimum(off + C, stride - 1)
+                l_n = line(cur, om1)
+                up_x = line(up, off)
+                l_ = jnp.where(w > 0, l_n, jnp.where(h > 0, up_x, 128))
+                t_ = jnp.where(h > 0, up_x, l_)
+                L_ = jnp.where(w > 1, line(cur, om2), l_)
+                tl = jnp.where((h > 0) & (w > 0), line(up, om1), t_)
+                tr = jnp.where((h > 0) & (w < W - 1), line(up, op1), t_)
+                T_ = jnp.where(h > 1, line(upup, off), t_)
+
+                hsh = (
+                    _quant(q11lo_v, q11hi_v, l_ - tl)
+                    + _quant(q11lo_v, q11hi_v, tl - t_) * 11
+                    + _quant(q11lo_v, q11hi_v, t_ - tr) * 121
+                    + _quant(q5lo_v, q5hi_v, L_ - l_) * 605
+                    + _quant(q5lo_v, q5hi_v, T_ - t_) * 3025
+                )
+                predict = jnp.clip(
+                    l_ + t_ - tl, jnp.minimum(l_, t_), jnp.maximum(l_, t_)
+                )
+                neg = hsh < 0
+                base2 = jnp.where(neg, -hsh, hsh) * 2  # packed word index
+
+                # ---- stage-in the hash row (2 words per lane, scalar) ----
+                iobuf_ref[0:1, :] = base2
+
+                def stage_in(l, _):
+                    r = iobuf_ref[0, l]
+                    iobuf_ref[2, l] = model_ref[r, l]
+                    iobuf_ref[3, l] = model_ref[r + 1, l]
+                    return 0
+
+                jax.lax.fori_loop(0, LANES, stage_in, 0, unroll=4)
+
+                word8 = jnp.concatenate(
+                    [iobuf_ref[2:3, :]] * 4 + [iobuf_ref[3:4, :]] * 4, axis=0
+                )
+                rows = (word8 >> ((sub8 & 3) * 8)) & 0xFF        # (8,128) states
+
+                # ---- decisions ------------------------------------------
+                low = state_ref[0:1, :]
+                rng = state_ref[1:2, :]
+                dpos = state_ref[2:3, :]
+                wbase = state_ref[3:4, :]
+
+                def dec_body(d, st):
+                    rows, low, rng, dpos, phase, value, e, ectx, mrem, mctx, errv = st
+                    active = phase != _DONE
+                    ctx = jnp.where(phase == _EXP,
+                                    jnp.minimum(ectx, cfg.e_lim), 0)
+                    ctx = jnp.where(phase == _MANT,
+                                    jnp.minimum(mctx, cfg.r_lim), ctx)
+                    ctx = jnp.where(phase == _SIGN, cfg.sign_ctx, ctx)
+
+                    st8 = _sublane_gather(rows, ctx)
+                    prob = _lut(ptab_v, st8)
+                    range1 = (rng * prob) >> 8
+                    rng0 = rng - range1
+                    bit = (low >= rng0) & active
+                    low2 = jnp.where(bit, low - rng0, low)
+                    rng2 = jnp.where(active, jnp.where(bit, range1, rng0), rng)
+                    refl = active & (rng2 < 0x100)
+                    # byte fetch from window
+                    widx = dpos - wbase
+                    word = _sublane_gather(wind_ref[:], widx >> 2)
+                    byte = (word >> ((widx & 3) * 8)) & 0xFF
+                    byte = jnp.where(widx < 32, byte, 0)
+                    low3 = jnp.where(refl, (low2 << 8) | byte, low2)
+                    rng3 = jnp.where(refl, rng2 << 8, rng2)
+                    dpos2 = jnp.where(refl, dpos + 1, dpos)
+
+                    ns = jnp.where(bit, _lut(ns1_v, st8), _lut(ns0_v, st8))
+                    upd = active & (jnp.broadcast_to(ctx, (8, LANES)) == sub8)
+                    rows = jnp.where(upd, jnp.broadcast_to(ns, (8, LANES)), rows)
+
+                    b = bit.astype(jnp.int32)
+                    is_zf = (phase == _ZF) & active
+                    is_exp = (phase == _EXP) & active
+                    is_mant = (phase == _MANT) & active
+                    is_sign = (phase == _SIGN) & active
+
+                    value = jnp.where(is_zf, jnp.where(bit, 0, 1), value)
+                    value = jnp.where(is_mant, 2 * value + b, value)
+                    value = jnp.where(is_sign & bit, -value, value)
+                    e2 = jnp.where(is_exp & bit, e + 1, e)
+                    errv = errv | (is_exp & (e2 > 31)).astype(jnp.int32)
+                    ectx2 = jnp.where(is_exp & bit, ectx + 1, ectx)
+                    mrem2 = jnp.where(is_exp & ~bit, e2,
+                                      jnp.where(is_mant, mrem - 1, mrem))
+                    mctx2 = jnp.where(is_mant, mctx + 1, mctx)
+                    phase2 = phase
+                    phase2 = jnp.where(is_zf, jnp.where(bit, _DONE, _EXP), phase2)
+                    phase2 = jnp.where(is_exp & ~bit,
+                                       jnp.where(e2 > 0, _MANT, _SIGN), phase2)
+                    phase2 = jnp.where(is_mant & (mrem == 1), _SIGN, phase2)
+                    phase2 = jnp.where(is_sign, _DONE, phase2)
+                    return (rows, low3, rng3, dpos2, phase2, value, e2,
+                            ectx2, mrem2, mctx2, errv)
+
+                one = jnp.ones((1, LANES), jnp.int32)
+                init = (rows, low, rng, dpos,
+                        jnp.full((1, LANES), _ZF, jnp.int32),
+                        0 * one, 0 * one, one, 0 * one,
+                        jnp.full((1, LANES), cfg.e_lim + 1, jnp.int32),
+                        0 * one)
+                (rows, low, rng, dpos, phase, value, *_r, errv) = (
+                    jax.lax.fori_loop(0, cfg.max_bins_per_symbol, dec_body, init)
+                )
+                # a valid symbol always terminates within 24 decisions
+                # (SURVEY §2.4); an unterminated one marks stream corruption
+                errv = errv | (phase != _DONE).astype(jnp.int32)
+                err_ref[0, 0:1, :] = err_ref[0, 0:1, :] | errv
+
+                state_ref[0:1, :] = low
+                state_ref[1:2, :] = rng
+                state_ref[2:3, :] = dpos
+
+                # ---- stage-out the updated row --------------------------
+                w0 = (rows[0:1, :] | (rows[1:2, :] << 8)
+                      | (rows[2:3, :] << 16) | (rows[3:4, :] << 24))
+                w1 = (rows[4:5, :] | (rows[5:6, :] << 8)
+                      | (rows[6:7, :] << 16) | (rows[7:8, :] << 24))
+                iobuf_ref[4:5, :] = w0
+                iobuf_ref[5:6, :] = w1
+
+                def stage_out(l, _):
+                    r = iobuf_ref[0, l]
+                    model_ref[r, l] = iobuf_ref[4, l]
+                    model_ref[r + 1, l] = iobuf_ref[5, l]
+                    return 0
+
+                jax.lax.fori_loop(0, LANES, stage_out, 0, unroll=4)
+
+                # ---- reconstruction: ring + buffered planes output ------
+                diff = jnp.where(neg, -value, value)
+                recon = predict + diff
+                lines_ref[pl.ds(cur + off, 1), :] = recon
+                outbuf_ref[pl.ds(k % 8, 1), :] = recon
+
+            @pl.when((k % 8 == 7) | (k == SYMCHUNK - 1))
+            def _flush():
+                planes_ref[0, pl.ds((k // 8) * 8, 8), :] = outbuf_ref[:]
+
+            return 0
+
+        jax.lax.fori_loop(0, SYMCHUNK, sym_body, 0)
+
+    return kernel
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "C", "cfg")
+)
+def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
+                  cfg: CodecConfig = REV2):
+    """data [G, cap, 128] u8 (zero-padded, cap % 64 == 0) ->
+    (planes [G, n_sym_pad, 128] i32, err [G, 8, 128] i32)."""
+    G, cap = data.shape[0], data.shape[1]
+    n_sym = H * W * C
+    n_chunks = -(-n_sym // SYMCHUNK)
+    n_sym_pad = n_chunks * SYMCHUNK
+
+    # pack bytes little-endian into words for scalar i32 staging
+    d32 = (
+        data[:, 0::4].astype(jnp.int32)
+        | (data[:, 1::4].astype(jnp.int32) << 8)
+        | (data[:, 2::4].astype(jnp.int32) << 16)
+        | (data[:, 3::4].astype(jnp.int32) << 24)
+    )
+
+    stride = W * C
+    kernel = _make_kernel(H, W, C, cap, cfg)
+    tabs = [_PROB, _NS0, _NS1, _Q11_LO, _Q11_HI, _Q5_LO, _Q5_HI]
+    planes, err = pl.pallas_call(
+        kernel,
+        grid=(G, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, cap // 4, LANES), lambda g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, LANES), lambda g, c: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 7,
+        out_specs=(
+            pl.BlockSpec((1, SYMCHUNK, LANES), lambda g, c: (g, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, n_sym_pad, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, LANES), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NS4, LANES), jnp.int32),
+            pltpu.VMEM((3 * stride, LANES), jnp.int32),
+            pltpu.VMEM((8, LANES), jnp.int32),
+            pltpu.VMEM((8, LANES), jnp.int32),
+            pltpu.VMEM((8, LANES), jnp.int32),
+            pltpu.VMEM((8, LANES), jnp.int32),
+        ],
+        interpret=_use_interpret(),
+    )(jnp.asarray(d32), *[jnp.asarray(t) for t in tabs])
+    return planes, err

@@ -1,0 +1,66 @@
+"""Pallas fused encode kernels (interpret mode on CPU; bit-exactness)."""
+import numpy as np
+import pytest
+
+from llcomp_tpu import encode as jenc
+from llcomp_tpu import oracle
+from tests.conftest import make_noise, make_photo
+
+
+def test_pallas_engine_matches_oracle():
+    lanes = np.stack(
+        [make_photo(4, 8, seed=i) for i in range(2)] + [make_noise(4, 8)]
+    )
+    outs = jenc.encode_lanes(lanes, engine="pallas")
+    for i in range(3):
+        assert outs[i] == oracle.encode(lanes[i])[6:]
+
+
+def test_pallas_engine_matches_xla_engine():
+    lanes = np.stack([make_photo(4, 4, seed=9 + i) for i in range(2)])
+    a = jenc.encode_lanes(lanes, engine="pallas")
+    b = jenc.encode_lanes(lanes, engine="xla")
+    assert a == b
+
+
+def test_pallas_flat_and_tiny():
+    lanes = np.full((1, 4, 4, 3), 42, np.uint8)
+    assert jenc.encode_lanes(lanes, engine="pallas")[0] == oracle.encode(lanes[0])[6:]
+
+
+def test_pallas_decode_matches_oracle():
+    from llcomp_tpu import decode as jdec
+
+    lanes = [make_photo(4, 6, seed=1), make_noise(4, 6, seed=2),
+             np.full((4, 6, 3), 9, np.uint8)]
+    streams = [oracle.encode(l)[6:] for l in lanes]
+    out = jdec.decode_lanes(streams, (4, 6, 3), engine="pallas")
+    for i, l in enumerate(lanes):
+        np.testing.assert_array_equal(out[i], l)
+
+
+def test_pallas_decode_channels():
+    from llcomp_tpu import decode as jdec
+
+    for c in (1, 4):
+        img = make_photo(3, 5, c=c, seed=c)
+        out = jdec.decode_lanes([oracle.encode(img)[6:]], (3, 5, c),
+                                engine="pallas")
+        np.testing.assert_array_equal(out[0], img)
+
+
+def test_pallas_decode_corrupt_raises():
+    from llcomp_tpu import decode as jdec
+    from tests.test_native import _malicious_stream
+
+    with pytest.raises(ValueError):
+        jdec.decode_lanes([_malicious_stream()], (4, 4, 3), engine="pallas")
+
+
+def test_pallas_roundtrip_pallas_only():
+    from llcomp_tpu import decode as jdec
+
+    lanes = np.stack([make_photo(4, 8, seed=40 + i) for i in range(2)])
+    streams = jenc.encode_lanes(lanes, engine="pallas")
+    out = jdec.decode_lanes(streams, (4, 8, 3), engine="pallas")
+    np.testing.assert_array_equal(out, lanes)
