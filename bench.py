@@ -1,15 +1,20 @@
 #!/usr/bin/env python3
-"""Benchmark: batched sliced encode (and decode) throughput on the local chip.
+"""Benchmark: batched sliced encode/decode throughput on the local chip.
 
 Prints ONE JSON line:
   {"metric": "encode_mps_512", "value": N, "unit": "MP/s", "vs_baseline": N, ...}
 
 Baseline: the C++ reference encodes 512x512x3 photo-like at 4.0 MP/s on one
 CPU core (BASELINE.md).  This benchmark encodes a batch of 512x512x3 images
-cut into stripes, all stripes marching in lockstep through the device scans.
+cut into 8-row stripes, all stripes marching in lockstep through the fused
+Pallas kernels; `value` is device throughput (compute only), `encode_mps_e2e`
+includes host transfers (this dev environment tunnels the chip at ~15 MB/s
+down / ~60 MB/s up, so e2e is link-bound here; production PCIe is ~100x).
+
+A round-trip-exactness gate zeroes vs_baseline on any mismatch.
 
 Env knobs: BENCH_IMAGES (default 8), BENCH_SLICE_H (default 8),
-BENCH_REPS (default 3), BENCH_DECODE=0 to skip the decode measurement.
+BENCH_REPS (default 3), BENCH_ENGINE (pallas|xla), BENCH_DECODE=0 to skip.
 """
 from __future__ import annotations
 
@@ -20,9 +25,6 @@ import time
 
 import numpy as np
 
-# Persistent compilation cache: this backend's remote compiler has a multi-
-# minute first-gather penalty per process; the disk cache (when supported)
-# amortizes it across bench runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 import jax  # noqa: E402
@@ -53,82 +55,92 @@ def main() -> int:
     n_images = int(os.environ.get("BENCH_IMAGES", "8"))
     slice_h = int(os.environ.get("BENCH_SLICE_H", "8"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    on_tpu = jax.default_backend() == "tpu"
+    engine = os.environ.get("BENCH_ENGINE", "pallas" if on_tpu else "xla")
 
     imgs = [make_photo(H, W, seed=100 + i) for i in range(n_images)]
     lanes = np.concatenate(
         [img.reshape(H // slice_h, slice_h, W, 3) for img in imgs]
     )
     S = lanes.shape[0]
+    n_sym = slice_h * W * 3
     mp_total = n_images * H * W / 1e6
 
-    dev_lanes = jax.device_put(lanes)
-    counts = np.asarray(jenc._count(dev_lanes))
-    cap = jenc._bucket(int(counts.max()))
+    t_up0 = time.time()
+    dev_lanes = jax.block_until_ready(jax.device_put(lanes))
+    t_up = time.time() - t_up0
 
-    # -- encode ----------------------------------------------------------
+    if engine == "pallas":
+        outcap = jenc._outcap(n_sym)
+
+        def run():
+            return jax.block_until_ready(
+                jenc._pipeline_pallas_bytes(dev_lanes, outcap)
+            )
+    else:
+        counts = np.asarray(jenc._count(dev_lanes))
+        cap = jenc._bucket(int(counts.max()))
+
+        def run():
+            return jax.block_until_ready(jenc._pipeline(dev_lanes, cap))
+
     t0 = time.time()
-    meta, runs = jax.block_until_ready(jenc._pipeline(dev_lanes, cap))
+    out = run()
     compile_s = time.time() - t0
-
     times = []
     for _ in range(reps):
         t0 = time.time()
-        meta, runs = jax.block_until_ready(jenc._pipeline(dev_lanes, cap))
+        out = run()
         times.append(time.time() - t0)
     enc_device_s = min(times)
 
     t0 = time.time()
-    meta_h = np.asarray(meta)
-    runs_h = np.asarray(runs)
-    from llcomp_tpu import coder
+    if engine == "pallas":
+        byts, lens = np.asarray(out[0]), np.asarray(out[1])
+        streams = [byts[s, : lens[s]].tobytes() for s in range(S)]
+    else:
+        from llcomp_tpu import coder
 
-    streams = coder.expand_slots_batch(meta_h, runs_h)
+        streams = coder.expand_slots_batch(np.asarray(out[0]), np.asarray(out[1]))
     host_s = time.time() - t0
 
-    enc_mps_device = mp_total / enc_device_s
-    enc_mps_e2e = mp_total / (enc_device_s + host_s)
     comp_bytes = sum(len(b) for b in streams)
-    ratio = n_images * H * W * 3 / comp_bytes
-
     result = {
         "metric": "encode_mps_512",
-        "value": round(enc_mps_device, 3),
+        "value": round(mp_total / enc_device_s, 3),
         "unit": "MP/s",
-        "vs_baseline": round(enc_mps_device / 4.0, 3),
-        "encode_mps_e2e": round(enc_mps_e2e, 3),
-        "compression_ratio": round(ratio, 3),
+        "vs_baseline": round(mp_total / enc_device_s / 4.0, 3),
+        "encode_mps_e2e": round(mp_total / (t_up + enc_device_s + host_s), 3),
+        "compression_ratio": round(n_images * H * W * 3 / comp_bytes, 3),
         "lanes": S,
         "images": n_images,
         "slice_h": slice_h,
+        "engine": engine,
         "compile_s": round(compile_s, 1),
         "platform": jax.devices()[0].platform,
     }
 
     # -- correctness gate + decode --------------------------------------
     if os.environ.get("BENCH_DECODE", "1") != "0":
-        dcap = jdec._bucket_cap(max(len(b) for b in streams))
-        data = np.zeros((S, dcap), dtype=np.uint8)
-        for s, b in enumerate(streams):
-            data[s, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-        ddev = jax.device_put(data)
-        t0 = time.time()
-        planes, err = jax.block_until_ready(
-            jdec._decode_scan(ddev, slice_h, W, 3)
-        )
-        dec_compile_s = time.time() - t0
-        t0 = time.time()
-        planes, err = jax.block_until_ready(
-            jdec._decode_scan(ddev, slice_h, W, 3)
-        )
-        dec_s = time.time() - t0
-        from llcomp_tpu.core import transform
-
-        out = np.asarray(transform.rct_inverse(planes))
-        ok = not np.asarray(err).any() and np.array_equal(out, lanes)
-        result["decode_mps"] = round(mp_total / dec_s, 3)
-        result["decode_compile_s"] = round(dec_compile_s, 1)
-        result["roundtrip_exact"] = bool(ok)
-        if not ok:
+        dec_engine = "pallas" if engine == "pallas" else "decision"
+        try:
+            t0 = time.time()
+            out_lanes = jdec.decode_lanes(streams, (slice_h, W, 3),
+                                          engine=dec_engine)
+            dec_total = time.time() - t0
+            t0 = time.time()
+            out_lanes = jdec.decode_lanes(streams, (slice_h, W, 3),
+                                          engine=dec_engine)
+            dec_warm = time.time() - t0
+            ok = np.array_equal(out_lanes, lanes)
+            result["decode_mps_e2e"] = round(mp_total / dec_warm, 3)
+            result["decode_compile_s"] = round(dec_total - dec_warm, 1)
+            result["roundtrip_exact"] = bool(ok)
+            if not ok:
+                result["vs_baseline"] = 0.0
+        except Exception as e:  # decode failure = hard fail
+            result["roundtrip_exact"] = False
+            result["decode_error"] = str(e)[:200]
             result["vs_baseline"] = 0.0
 
     print(json.dumps(result))

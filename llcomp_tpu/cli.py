@@ -90,6 +90,36 @@ def _cmd_info(args) -> int:
     return 0
 
 
+def _cmd_corpus(args) -> int:
+    import json
+
+    from . import corpus
+    from .io import load_image
+
+    indir = pathlib.Path(args.indir)
+    outdir = pathlib.Path(args.outdir) if args.outdir else indir
+    outdir.mkdir(parents=True, exist_ok=True)
+    exts = {".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".pgm", ".pnm"}
+    paths = sorted(p for p in indir.iterdir() if p.suffix.lower() in exts)
+    if not paths:
+        print(f"error: no images in {indir}", file=sys.stderr)
+        return 1
+    images = [load_image(p) for p in paths]
+    blobs, stats = corpus.compress_corpus(images, slice_h=args.slice_h)
+    for p, blob in zip(paths, blobs):
+        (outdir / (p.name + EXT_SLICED)).write_bytes(blob)
+    if args.verify:
+        outs = corpus.decompress_corpus(blobs)
+        bad = [p.name for p, a, b in zip(paths, outs, images)
+               if not np.array_equal(a, b)]
+        if bad:
+            print(f"error: verify failed for {bad}", file=sys.stderr)
+            return 1
+        print(f"verified {len(paths)} images bit-exact")
+    print(json.dumps(stats.as_dict()))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="llcomp-tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -113,6 +143,16 @@ def main(argv=None) -> int:
     pi = sub.add_parser("info", help="inspect a compressed file")
     pi.add_argument("input")
     pi.set_defaults(fn=_cmd_info)
+
+    pb = sub.add_parser(
+        "corpus", help="compress every image in a directory (batched lanes)"
+    )
+    pb.add_argument("indir")
+    pb.add_argument("-o", "--outdir", default=None)
+    pb.add_argument("--slice-h", type=int, default=8)
+    pb.add_argument("--verify", action="store_true",
+                    help="decode everything back and compare pixels")
+    pb.set_defaults(fn=_cmd_corpus)
 
     args = p.parse_args(argv)
     try:

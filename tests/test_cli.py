@@ -75,3 +75,27 @@ def test_error_paths(tmp_path, capsys):
     assert cli.main(["decompress", str(bad)]) == 1
     assert "error:" in capsys.readouterr().err
     assert cli.main(["info", str(bad)]) == 1
+
+
+def test_corpus_command(tmp_path, capsys):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        save_image(d / f"im{i}.png", make_photo(16, 12, seed=i))
+    assert cli.main(["corpus", str(d), "--verify"]) == 0
+    out = capsys.readouterr().out
+    assert "verified 3 images bit-exact" in out
+    assert (d / "im0.png.llct").exists()
+    back = load_image(str(d / "im1.png"))
+    import llcomp_tpu
+
+    np.testing.assert_array_equal(
+        llcomp_tpu.decompress((d / "im1.png.llct").read_bytes()), back
+    )
+
+
+def test_corpus_empty_dir(tmp_path, capsys):
+    d = tmp_path / "empty"
+    d.mkdir()
+    assert cli.main(["corpus", str(d)]) == 1
+    assert "no images" in capsys.readouterr().err
