@@ -270,16 +270,86 @@ def _pipeline_impl_pallas(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2):
     return meta, runs
 
 
-def _pipeline_impl_pallas_bytes(
-    imgs: jnp.ndarray, outcap: int, cfg: CodecConfig = REV2
-):
+# --- Pallas path as a chain of small jits ---------------------------------
+# The monolithic program (precompute + sorts + two kernels + expansion) is
+# large enough to OOM-kill this backend's remote compile helper; splitting
+# into stages keeps each compile small.  Device arrays flow between stages
+# with no host transfer; dispatch overhead is a few microseconds per stage.
+
+
+@functools.partial(jax.jit, static_argnames=("T", "Sp", "cfg"))
+def _stage_sortfwd(imgs, T, Sp, cfg: CodecConfig = REV2):
+    """images -> (stream [Sp,T], sorted walk input, sorted positions)."""
+    stream = _decision_stream(imgs, T, cfg)
+    S = stream.shape[0]
+    if Sp != S:
+        stream = jnp.concatenate(
+            [stream, jnp.full((Sp - S, T), -1, jnp.int32)]
+        )
+    key = jnp.where(stream >= 0, stream >> 1, jnp.int32(1 << 22))
+    pos = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, T), 1), (Sp, T)
+    )
+    skey, sortedp, spos = jax.lax.sort(
+        (key, stream, pos), dimension=1, is_stable=True, num_keys=1
+    )
+    prev = jnp.concatenate(
+        [jnp.full((Sp, 1), -2, jnp.int32), skey[:, :-1]], axis=1
+    )
+    seg = (skey != prev).astype(jnp.int32)
+    from .pallas import encode_kernels as pk
+
+    return stream, pk.to_groups((sortedp & 1) | (seg << 1)), spos
+
+
+@jax.jit
+def _stage_sortback(stream, probs_g, spos):
+    from .pallas import encode_kernels as pk
+
+    probs_sorted = pk.from_groups(probs_g)
+    _, probs = jax.lax.sort(
+        (spos, probs_sorted), dimension=1, is_stable=False, num_keys=1
+    )
+    coder_xs = jnp.where(
+        stream >= 0,
+        (probs & 0xFF) | ((stream & 1) << 8) | (1 << 9),
+        0,
+    )
+    return pk.to_groups(coder_xs)
+
+
+@functools.partial(jax.jit, static_argnames=("outcap",))
+def _stage_expand(meta_g, runs_g, fin, outcap: int):
+    from .pallas import encode_kernels as pk
+
+    meta = pk.from_groups(meta_g)
+    runs = pk.from_groups(runs_g)
+    Sp = meta.shape[0]
+    fin = fin.reshape(Sp // pk.GROUP, 4, pk.GROUP)
+    carry = tuple(fin[:, i].reshape(Sp) for i in range(4))
+    fmeta, fruns = coder.finish_steps(carry)
+    meta = jnp.concatenate([meta, fmeta.T], axis=1)
+    runs = jnp.concatenate([runs, fruns.T], axis=1)
+    return coder.expand_slots_on_device(meta, runs, outcap)
+
+
+def _pipeline_pallas_bytes(imgs, outcap: int, cfg: CodecConfig = REV2):
     """Pallas encode all the way to per-lane byte buffers on device.
 
     Slot records (GBs for big batches) never leave HBM; only the compacted
     [Sp, outcap] byte buffers and per-lane lengths transfer to the host.
     """
-    meta, runs = _pipeline_impl_pallas(imgs, 0, cfg)
-    return coder.expand_slots_on_device(meta, runs, outcap)
+    from .pallas import encode_kernels as pk
+
+    S = imgs.shape[0]
+    n_sym = int(np.prod(imgs.shape[1:]))
+    T = -(-(n_sym * cfg.max_bins_per_symbol) // pk.TCHUNK) * pk.TCHUNK
+    Sp = -(-S // pk.GROUP) * pk.GROUP
+    stream, walk_xs, spos = _stage_sortfwd(imgs, T, Sp, cfg)
+    probs_g = pk.walk_probs(walk_xs)
+    coder_xs = _stage_sortback(stream, probs_g, spos)
+    meta_g, runs_g, fin = pk.coder_scan(coder_xs)
+    return _stage_expand(meta_g, runs_g, fin, outcap)
 
 
 _pipeline = jax.jit(_pipeline_impl, static_argnames=("cap", "cfg"))
@@ -287,9 +357,6 @@ _pipeline_modelscan = jax.jit(
     _pipeline_impl_modelscan, static_argnames=("cap", "cfg")
 )
 _pipeline_pallas = jax.jit(_pipeline_impl_pallas, static_argnames=("cap", "cfg"))
-_pipeline_pallas_bytes = jax.jit(
-    _pipeline_impl_pallas_bytes, static_argnames=("outcap", "cfg")
-)
 
 
 def _outcap(n_sym: int) -> int:
