@@ -379,9 +379,14 @@ def encode_lanes(
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     if engine == "pallas":
         n_sym = int(np.prod(imgs.shape[1:]))
-        byts, lens = _pipeline_pallas_bytes(imgs, _outcap(n_sym), cfg)
+        outcap = _outcap(n_sym)
+        byts, lens = _pipeline_pallas_bytes(imgs, outcap, cfg)
         byts = np.asarray(byts)
         lens = np.asarray(lens)
+        if lens.max(initial=0) > outcap:  # cannot happen for the rev-2 coder
+            raise AssertionError(
+                f"stream overflow: {lens.max()} > bound {outcap}"
+            )
         return [byts[s, : lens[s]].tobytes() for s in range(S)]
     counts = np.asarray(_count(imgs, cfg))
     cap = _bucket(int(counts.max()))

@@ -64,3 +64,27 @@ def test_pallas_roundtrip_pallas_only():
     streams = jenc.encode_lanes(lanes, engine="pallas")
     out = jdec.decode_lanes(streams, (4, 8, 3), engine="pallas")
     np.testing.assert_array_equal(out, lanes)
+
+
+def test_device_expansion_matches_host():
+    """expand_slots_on_device == expand_slots_batch on random slot records."""
+    import jax.numpy as jnp
+
+    from llcomp_tpu import coder
+
+    rng = np.random.default_rng(7)
+    S, T, outcap = 4, 256, 640
+    emit = rng.random((S, T)) < 0.3
+    meta = (
+        emit.astype(np.int32)
+        | (rng.integers(0, 2, (S, T)) << 1)
+        | (rng.integers(0, 256, (S, T)) << 8)
+    ).astype(np.int32)
+    runs = np.where(emit, rng.integers(0, 3, (S, T)), 0).astype(np.int32)
+    want = coder.expand_slots_batch(meta, runs, lane_major=True)
+    byts, lens = coder.expand_slots_on_device(
+        jnp.asarray(meta), jnp.asarray(runs), outcap
+    )
+    byts, lens = np.asarray(byts), np.asarray(lens)
+    for s in range(S):
+        assert byts[s, : lens[s]].tobytes() == want[s]
