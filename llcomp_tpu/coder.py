@@ -139,43 +139,38 @@ def expand_slots_on_device(meta: jnp.ndarray, runs: jnp.ndarray, outcap: int):
     offs = ends - length
     lens = ends[:, -1]
 
-    # 1. compact emitting slots (offsets are strictly increasing per lane)
+    # 1. compact emitting slots (offsets strictly increase per lane, so the
+    #    key orders them; the payload packs head byte + carry flag: 9 bits)
     key1 = jnp.where(emit, offs, BIG)
-    head = (meta >> 8) & 0xFF
-    fill = jnp.where((meta & 2) != 0, 0, 0xFF)
-    k1, ch, cf = jax.lax.sort((key1, head, fill), dimension=1, num_keys=1)
-    k1, ch, cf = k1[:, :outcap], ch[:, :outcap], cf[:, :outcap]
+    pay1 = ((meta >> 8) & 0xFF) | (meta & 2) << 7
+    k1, p1 = jax.lax.sort((key1, pay1), dimension=1, num_keys=1)
+    k1, p1 = k1[:, :outcap], p1[:, :outcap]
 
-    # 2. sandwich with probes
+    # 2. sandwich with one probe per output position; payload packs
+    #    (offset+1) << 9 | carry << 8 | head so everything rides one int32
     p = jax.lax.broadcasted_iota(jnp.int32, (1, outcap), 1)
     probe_k = jnp.broadcast_to(p * 2 + 1, (S, outcap))
     slot_k = jnp.where(k1 < BIG, k1 * 2, BIG)
-    zeros = jnp.zeros((S, outcap), jnp.int32)
+    slot_v = jnp.where(k1 < BIG, ((k1 + 1) << 9) | p1, 0)
     keys = jnp.concatenate([slot_k, probe_k], axis=1)
-    heads = jnp.concatenate([ch, zeros], axis=1)
-    fills = jnp.concatenate([cf, zeros], axis=1)
-    offsv = jnp.concatenate([jnp.where(k1 < BIG, k1, -1), zeros - 1], axis=1)
-    sk, sh, sf, so = jax.lax.sort(
-        (keys, heads, fills, offsv), dimension=1, num_keys=1
-    )
+    vals = jnp.concatenate([slot_v, jnp.zeros((S, outcap), jnp.int32)], axis=1)
+    sk, sv = jax.lax.sort((keys, vals), dimension=1, num_keys=1)
 
-    # 3. forward-fill the latest slot entry (associative "last valid")
-    def comb(a, b):
-        ah, af, ao = a
-        bh, bf, bo = b
-        take_b = bo >= 0
-        return (
-            jnp.where(take_b, bh, ah),
-            jnp.where(take_b, bf, af),
-            jnp.where(take_b, bo, ao),
-        )
-
-    fh, ff, fo = jax.lax.associative_scan(comb, (sh, sf, so), axis=1)
+    # 3. forward-fill the latest slot entry (log-step "last valid" sweep)
+    n = sv.shape[1]
+    d = 1
+    while d < n:
+        prev = jnp.pad(sv, ((0, 0), (d, 0)))[:, :n]
+        sv = jnp.where(sv != 0, sv, prev)
+        d *= 2
 
     # 4. probe bytes, extracted in position order
     is_probe = (sk & 1) == 1
     pp = sk >> 1
-    byte = jnp.where(fo == pp, fh, ff)
+    f_off = (sv >> 9) - 1
+    f_head = sv & 0xFF
+    f_fill = jnp.where((sv & 0x100) != 0, 0, 0xFF)
+    byte = jnp.where(f_off == pp, f_head, f_fill)
     k2 = jnp.where(is_probe, pp, BIG)
     _, ob = jax.lax.sort((k2, byte), dimension=1, num_keys=1)
     return ob[:, :outcap].astype(jnp.uint8), lens
