@@ -151,7 +151,7 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig):
                             wind_ref[j, l] = data_ref[0, w4 + j, l]
                     return 0
 
-                jax.lax.fori_loop(0, LANES, refill, 0, unroll=2)
+                jax.lax.fori_loop(0, LANES, refill, 0)
 
                 # ---- neighbors (lane-uniform offsets) --------------------
                 def line(base, o):
@@ -191,7 +191,7 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig):
                     iobuf_ref[3, l] = model_ref[r + 1, l]
                     return 0
 
-                jax.lax.fori_loop(0, LANES, stage_in, 0, unroll=4)
+                jax.lax.fori_loop(0, LANES, stage_in, 0)
 
                 word8 = jnp.concatenate(
                     [iobuf_ref[2:3, :]] * 4 + [iobuf_ref[3:4, :]] * 4, axis=0
@@ -290,7 +290,7 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig):
                     model_ref[r + 1, l] = iobuf_ref[5, l]
                     return 0
 
-                jax.lax.fori_loop(0, LANES, stage_out, 0, unroll=4)
+                jax.lax.fori_loop(0, LANES, stage_out, 0)
 
                 # ---- reconstruction: ring + buffered planes output ------
                 diff = jnp.where(neg, -value, value)
