@@ -271,83 +271,103 @@ def _pipeline_impl_pallas(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2):
 
 
 # --- Pallas path as a chain of small jits ---------------------------------
-# The monolithic program (precompute + sorts + two kernels + expansion) is
-# large enough to OOM-kill this backend's remote compile helper; splitting
-# into stages keeps each compile small.  Device arrays flow between stages
-# with no host transfer; dispatch overhead is a few microseconds per stage.
+# A monolithic program OOM-kills this backend's remote compile helper, so the
+# pipeline is a chain of modest jits with device arrays flowing between them.
+# Everything stays in kernel group layout [G, T, 8, 128] end to end — the
+# [Sp, T] <-> grouped transposes otherwise move GBs per batch — and every
+# permutation is a packed 2-operand lax.sort (scatter/gather serialize on
+# this backend; multi-operand sorts blow up its compiler).
+
+_BIG = jnp.int32(1 << 22)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "Sp", "cfg"))
-def _stage_sortfwd(imgs, T, Sp, cfg: CodecConfig = REV2):
-    """images -> (stream [Sp,T], sorted walk input, sorted positions)."""
-    stream = _decision_stream(imgs, T, cfg)
-    S = stream.shape[0]
-    if Sp != S:
-        stream = jnp.concatenate(
-            [stream, jnp.full((Sp - S, T), -1, jnp.int32)]
-        )
-    key = jnp.where(stream >= 0, stream >> 1, jnp.int32(1 << 22))
-    pos = jnp.broadcast_to(
-        jax.lax.broadcasted_iota(jnp.int32, (1, T), 1), (Sp, T)
-    )
-    skey, sortedp, spos = jax.lax.sort(
-        (key, stream, pos), dimension=1, is_stable=True, num_keys=1
-    )
-    prev = jnp.concatenate(
-        [jnp.full((Sp, 1), -2, jnp.int32), skey[:, :-1]], axis=1
-    )
-    seg = (skey != prev).astype(jnp.int32)
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _stage_precompute(imgs, cfg: CodecConfig = REV2):
+    """[S,H,W,C] -> folded (hash, diff) in group layout [G, n_sym_pad, 8, 128]."""
     from .pallas import encode_kernels as pk
 
-    return stream, pk.to_groups((sortedp & 1) | (seg << 1)), spos
+    S = imgs.shape[0]
+    v = transform.rct_forward(imgs)
+    hash_, diff = transform.context_and_residual(v, cfg)
+    hash_ = hash_.reshape(S, -1)
+    diff = diff.reshape(S, -1)
+    n_sym = hash_.shape[1]
+    n_pad = -(-n_sym // (2 * pk.SCHUNK)) * (2 * pk.SCHUNK)
+    Sp = -(-S // pk.GROUP) * pk.GROUP
+    hash_ = jnp.pad(hash_, ((0, Sp - S), (0, n_pad - n_sym)))
+    diff = jnp.pad(diff, ((0, Sp - S), (0, n_pad - n_sym)))
+
+    def grp(a):
+        return a.reshape(Sp // pk.GROUP, pk.SUBS, pk.LANES, n_pad).transpose(
+            0, 3, 1, 2
+        )
+
+    return grp(hash_), grp(diff)
 
 
 @jax.jit
-def _stage_sortback(stream, probs_g, spos):
-    from .pallas import encode_kernels as pk
+def _stage_fwd_sort(stream_g):
+    """Group stream -> context-sorted (key, bit<<20|pos) along axis 1."""
+    G, T = stream_g.shape[0], stream_g.shape[1]
+    key = jnp.where(stream_g >= 0, stream_g >> 1, _BIG)
+    pos = jax.lax.broadcasted_iota(jnp.int32, stream_g.shape, 1)
+    pay = ((stream_g & 1) << 20) | pos
+    return jax.lax.sort((key, pay), dimension=1, is_stable=True, num_keys=1)
 
-    probs_sorted = pk.from_groups(probs_g)
-    _, probs = jax.lax.sort(
-        (spos, probs_sorted), dimension=1, is_stable=False, num_keys=1
+
+@jax.jit
+def _stage_walk_xs(skey, spay):
+    prev = jnp.concatenate(
+        [jnp.full_like(skey[:, :1], -2), skey[:, :-1]], axis=1
     )
-    coder_xs = jnp.where(
-        stream >= 0,
-        (probs & 0xFF) | ((stream & 1) << 8) | (1 << 9),
-        0,
-    )
-    return pk.to_groups(coder_xs)
+    seg = (skey != prev).astype(jnp.int32)
+    return ((spay >> 20) & 1) | (seg << 1)
+
+
+@jax.jit
+def _stage_back_sort(skey, spay, probs_g):
+    """Sorted probs -> compacted stream-order coder input [G, Tc, 8, 128]."""
+    valid = skey < _BIG
+    pos = spay & 0xFFFFF
+    key2 = jnp.where(valid, pos, _BIG)
+    pay2 = (probs_g & 0xFF) | (((spay >> 20) & 1) << 8)
+    k2, p2 = jax.lax.sort((key2, pay2), dimension=1, is_stable=False, num_keys=1)
+    return jnp.where(k2 < _BIG, p2 | (1 << 9), 0)
 
 
 @functools.partial(jax.jit, static_argnames=("outcap",))
 def _stage_expand(meta_g, runs_g, fin, outcap: int):
-    from .pallas import encode_kernels as pk
-
-    meta = pk.from_groups(meta_g)
-    runs = pk.from_groups(runs_g)
-    Sp = meta.shape[0]
-    fin = fin.reshape(Sp // pk.GROUP, 4, pk.GROUP)
-    carry = tuple(fin[:, i].reshape(Sp) for i in range(4))
-    fmeta, fruns = coder.finish_steps(carry)
-    meta = jnp.concatenate([meta, fmeta.T], axis=1)
-    runs = jnp.concatenate([runs, fruns.T], axis=1)
-    return coder.expand_slots_on_device(meta, runs, outcap)
+    """Slot records (group layout) + final carries -> bytes + lengths."""
+    G = meta_g.shape[0]
+    fin = fin.reshape(G, 4, 1, 8, 128)
+    fm, fr = coder.finish_steps_grouped(fin)
+    meta_g = jnp.concatenate([meta_g, fm], axis=1)
+    runs_g = jnp.concatenate([runs_g, fr], axis=1)
+    return coder.expand_slots_on_device_grouped(meta_g, runs_g, outcap)
 
 
 def _pipeline_pallas_bytes(imgs, outcap: int, cfg: CodecConfig = REV2):
-    """Pallas encode all the way to per-lane byte buffers on device.
+    """Pallas encode to per-lane byte buffers on device.
 
     Slot records (GBs for big batches) never leave HBM; only the compacted
-    [Sp, outcap] byte buffers and per-lane lengths transfer to the host.
+    byte buffers and per-lane lengths transfer to the host.  Returns
+    (bytes [G, outcap, 8, 128] u8, lens [G, 1, 8, 128] i32).
     """
     from .pallas import encode_kernels as pk
 
-    S = imgs.shape[0]
     n_sym = int(np.prod(imgs.shape[1:]))
-    T = -(-(n_sym * cfg.max_bins_per_symbol) // pk.TCHUNK) * pk.TCHUNK
-    Sp = -(-S // pk.GROUP) * pk.GROUP
-    stream, walk_xs, spos = _stage_sortfwd(imgs, T, Sp, cfg)
-    probs_g = pk.walk_probs(walk_xs)
-    coder_xs = _stage_sortback(stream, probs_g, spos)
+    hash_g, diff_g = _stage_precompute(imgs, cfg)
+    stream_g = pk.build_stream(hash_g, diff_g, n_sym)
+    T = stream_g.shape[1]
+    assert T < (1 << 20), "stripe too large for the packed-sort pallas path"
+
+    counts = np.asarray(_count(imgs, cfg))
+    Tc = min(T, _bucket(int(counts.max()), quantum=8192))
+
+    skey, spay = _stage_fwd_sort(stream_g)
+    skey, spay = skey[:, :Tc], spay[:, :Tc]
+    probs_g = pk.walk_probs(_stage_walk_xs(skey, spay))
+    coder_xs = _stage_back_sort(skey, spay, probs_g)
     meta_g, runs_g, fin = pk.coder_scan(coder_xs)
     return _stage_expand(meta_g, runs_g, fin, outcap)
 
@@ -380,13 +400,17 @@ def encode_lanes(
     if engine == "pallas":
         n_sym = int(np.prod(imgs.shape[1:]))
         outcap = _outcap(n_sym)
-        byts, lens = _pipeline_pallas_bytes(imgs, outcap, cfg)
-        byts = np.asarray(byts)
-        lens = np.asarray(lens)
+        byts_g, lens_g = _pipeline_pallas_bytes(imgs, outcap, cfg)
+        lens = np.asarray(lens_g).reshape(-1)
         if lens.max(initial=0) > outcap:  # cannot happen for the rev-2 coder
             raise AssertionError(
                 f"stream overflow: {lens.max()} > bound {outcap}"
             )
+        # transfer only the occupied prefix (the host link is slow here)
+        cap2 = min(outcap, max(1024, -(-int(lens.max(initial=1)) // 1024) * 1024))
+        byts = (
+            np.asarray(byts_g[:, :cap2]).transpose(0, 2, 3, 1).reshape(-1, cap2)
+        )
         return [byts[s, : lens[s]].tobytes() for s in range(S)]
     counts = np.asarray(_count(imgs, cfg))
     cap = _bucket(int(counts.max()))

@@ -59,6 +59,93 @@ def _use_interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Stream-builder kernel: (hash, residual) per symbol -> 24-slot decisions
+# ---------------------------------------------------------------------------
+
+
+SCHUNK = 32               # symbols per builder grid step (24*64 | 3*TCHUNK)
+
+
+def _make_build_kernel(n_sym: int):
+    K = 24
+
+    def kernel(hash_ref, diff_ref, out_ref):
+        """Per decision slot t in a 32-symbol chunk: symbol t//24, slot t%24.
+
+        Emits cidx*2 + bit for a live decision, -1 for padding — the Pallas
+        replacement for the XLA binarize+pack stage (~300M slots at ~20
+        vector ops each).  Slot layout per symbol (SURVEY §2.4): zero flag,
+        unary exponent (ctx min(k,4)), stop, mantissa MSB-first (ctx 5,6..),
+        sign (ctx 7).
+        """
+        c = pl.program_id(1)
+
+        def step(t, _):
+            sym_l = t // K
+            k = t % K
+            live_sym = c * SCHUNK + sym_l < n_sym
+            h = hash_ref[0, sym_l]                # (8,128) folded hash
+            d = diff_ref[0, sym_l]                # (8,128) folded residual
+            ad = jnp.abs(d)
+            e = jnp.zeros_like(ad)
+            for j in range(1, 12):
+                e = e + ((ad >> j) > 0).astype(jnp.int32)
+            nz = ad != 0
+
+            in_exp = (k >= 1) & (k <= e)
+            is_stop = k == e + 1
+            in_mant = (k >= e + 2) & (k <= 2 * e + 1)
+            is_sign = k == 2 * e + 2
+
+            ctx = jnp.where(in_exp, jnp.minimum(k, 4), 0)
+            ctx = jnp.where(is_stop, jnp.minimum(e + 1, 4), ctx)
+            ctx = jnp.where(in_mant, jnp.minimum(5 + (k - e - 2), 6), ctx)
+            ctx = jnp.where(is_sign, 7, ctx)
+
+            bit = jnp.where(in_exp, 1, 0)
+            mant_i = jnp.clip(2 * e + 1 - k, 0, 30)
+            bit = jnp.where(in_mant, (ad >> mant_i) & 1, bit)
+            bit = jnp.where(is_sign, (d < 0).astype(jnp.int32), bit)
+            is_zf = k == 0
+            bit = jnp.where(is_zf & ~nz, 1, jnp.where(is_zf, 0, bit))
+            valid = (is_zf | (nz & (in_exp | is_stop | in_mant | is_sign))
+                     ) & live_sym
+
+            packed = (h * 8 + ctx) * 2 + bit
+            out_ref[0, t] = jnp.where(valid, packed, -1)
+            return 0
+
+        jax.lax.fori_loop(0, SCHUNK * K, step, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_sym",))
+def build_stream(hash_g: jnp.ndarray, diff_g: jnp.ndarray, n_sym: int):
+    """hash/diff [G, n_sym_pad, 8, 128] (n_sym_pad % SCHUNK*2 == 0) ->
+    decisions [G, n_sym_pad*24, 8, 128]; slots past n_sym are -1 padding."""
+    G, n_sym_pad = hash_g.shape[0], hash_g.shape[1]
+    assert n_sym_pad % (2 * SCHUNK) == 0, n_sym_pad  # T % TCHUNK == 0
+    T = n_sym_pad * 24
+    return pl.pallas_call(
+        _make_build_kernel(n_sym),
+        grid=(G, n_sym_pad // SCHUNK),
+        in_specs=[
+            pl.BlockSpec((1, SCHUNK, SUBS, LANES), lambda g, c: (g, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SCHUNK, SUBS, LANES), lambda g, c: (g, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SCHUNK * 24, SUBS, LANES), lambda g, c: (g, c, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, T, SUBS, LANES), jnp.int32),
+        interpret=_use_interpret(),
+    )(hash_g, diff_g)
+
+
+# ---------------------------------------------------------------------------
 # State-walk kernel: probabilities for sorted decision runs
 # ---------------------------------------------------------------------------
 
