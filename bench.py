@@ -122,7 +122,7 @@ def main() -> int:
 
     # -- correctness gate + decode --------------------------------------
     if os.environ.get("BENCH_DECODE", "1") != "0":
-        dec_engine = "pallas" if engine == "pallas" else "decision"
+        dec_engine = "decision"
         try:
             t0 = time.time()
             out_lanes = jdec.decode_lanes(streams, (slice_h, W, 3),

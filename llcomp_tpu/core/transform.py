@@ -60,8 +60,26 @@ def rct_inverse(planes: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([rgb, v[..., 3:]], axis=-1).astype(jnp.uint8)
 
 
-def _quant(table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    return table[jnp.clip(x, -128, 127) & 0xFF]
+def _quant_arith(thresholds: tuple[int, ...], x: jnp.ndarray) -> jnp.ndarray:
+    """Banded quantizer, arithmetically (bit-identical to the tables).
+
+    The quant tables are generated from these bands (core/tables.py), so
+    counting thresholds <= |clip(x)| reproduces them exactly — without a
+    gather, which XLA:TPU lowers to a one-hot contraction that materializes
+    [n_indices, 256] intermediates (tens of GB at production batch sizes).
+    """
+    y = jnp.clip(x, -128, 127)
+    a = jnp.abs(y)
+    mag = sum((a >= t).astype(jnp.int32) for t in thresholds)
+    return jnp.sign(y) * mag
+
+
+def _quant11(x: jnp.ndarray) -> jnp.ndarray:
+    return _quant_arith((1, 2, 5, 12, 35), x)
+
+
+def _quant5(x: jnp.ndarray) -> jnp.ndarray:
+    return _quant_arith((1, 4), x)
 
 
 def neighbors(v: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
@@ -99,11 +117,9 @@ def context_and_residual(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Folded (hash, diff) per sample for planes [S, H, W, C] — `llcomp.hpp:424-436`."""
     l, t, L, tl, tr, T = neighbors(v)
-    h = _quant(_QUANT11, l - tl) + _quant(_QUANT11, tl - t) * 11 + _quant(
-        _QUANT11, t - tr
-    ) * 121
+    h = _quant11(l - tl) + _quant11(tl - t) * 11 + _quant11(t - tr) * 121
     if cfg.large_model:
-        h = h + _quant(_QUANT5, L - l) * 605 + _quant(_QUANT5, T - t) * 3025
+        h = h + _quant5(L - l) * 605 + _quant5(T - t) * 3025
     predict = jnp.clip(l + t - tl, jnp.minimum(l, t), jnp.maximum(l, t))
     diff = v.astype(jnp.int32) - predict
     neg = h < 0

@@ -235,6 +235,189 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
 
 
 # ===========================================================================
+# Row-batched symbol-lockstep engine
+# ===========================================================================
+
+def _onehot_lut(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Serialization-free small-table lookup: one-hot * table, summed.
+
+    Per-element gathers serialize on this backend (~0.1 us/element); for
+    128/256-entry tables an [*, N] one-hot contraction is pure vector work.
+    """
+    n = table.shape[0]
+    oh = (idx[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, idx.shape + (n,), idx.ndim)).astype(jnp.int32)
+    return jnp.sum(oh * table, axis=-1)
+
+
+def _decode_impl_rowbatch(
+    data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = REV2
+):
+    """Symbol-synchronous decode with per-symbol row batching.
+
+    All lanes decode the same symbol position each scan step, so the only
+    serialized (per-lane-indexed) operations are three slice transfers per
+    symbol: gather the hash's 8-substate model row, prefetch a 24-byte input
+    window (a symbol consumes at most 24 bytes), and scatter the updated row
+    back.  The 24 decisions unroll into the step body as pure vector ops
+    (sub-state select/update via 8-wide one-hots; probability and transition
+    lookups via 128/256-entry one-hot contractions; byte fetch via 24-wide
+    one-hot over the window).  ~5x fewer serialized elements per pixel than
+    the decision-outer engine.
+    """
+    S, cap = data.shape
+    NS = cfg.num_states
+    stride = W * C
+    d32 = data.astype(jnp.int32)
+    dflat = d32.reshape(-1)
+    data_base = jnp.arange(S) * cap
+    lane_base = jnp.arange(S) * (NS + 8)
+
+    prob_tab = transform.STATE_PROB
+    next_tab = transform.NEXT_STATE
+
+    x_off_t, cur_t, up_t, upup_t, flags_t = _schedule(H, W, C)
+    low0 = (d32[:, 0] << 8) | d32[:, 1]
+
+    gather8_dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+
+    def sym_step(carry, xs):
+        states, lines, low, rng, pos, err = carry
+        x_off, cur, up, upup, flags = xs
+        w_pos = (flags & 1) != 0
+        h_pos = (flags & 2) != 0
+        w_gt1 = (flags & 4) != 0
+        w_lt = (flags & 8) != 0
+        h_gt1 = (flags & 16) != 0
+
+        lm1 = jnp.maximum(x_off - C, 0)
+        lm2 = jnp.maximum(x_off - 2 * C, 0)
+        lp1 = jnp.minimum(x_off + C, stride - 1)
+        cur_m1 = _line_at(lines, cur, lm1)
+        up_x = _line_at(lines, up, x_off)
+        l = jnp.where(w_pos, cur_m1, jnp.where(h_pos, up_x, 128))
+        t = jnp.where(h_pos, up_x, l)
+        L = jnp.where(w_gt1, _line_at(lines, cur, lm2), l)
+        tl = jnp.where(h_pos & w_pos, _line_at(lines, up, lm1), t)
+        tr = jnp.where(h_pos & w_lt, _line_at(lines, up, lp1), t)
+        T = jnp.where(h_gt1, _line_at(lines, upup, x_off), t)
+
+        q11, q5 = transform._QUANT11, transform._QUANT5
+        hsh = (
+            _quant_flat(q11, l - tl)
+            + _quant_flat(q11, tl - t) * 11
+            + _quant_flat(q11, t - tr) * 121
+        )
+        if cfg.large_model:
+            hsh = hsh + _quant_flat(q5, L - l) * 605 + _quant_flat(q5, T - t) * 3025
+        predict = jnp.clip(l + t - tl, jnp.minimum(l, t), jnp.maximum(l, t))
+        neg = hsh < 0
+        base = jnp.where(neg, -hsh, hsh) * cfg.substates
+
+        # --- per-symbol slice transfers (the only serialized ops) --------
+        row_start = (lane_base + base)[:, None]
+        rows = jax.lax.gather(
+            states, row_start, gather8_dn, (8,), mode="clip"
+        ).astype(jnp.int32)                                   # [S, 8]
+        pos0 = jnp.minimum(pos, cap - 24)
+        wind = jax.lax.gather(
+            dflat, (data_base + pos0)[:, None], gather8_dn, (24,), mode="clip"
+        )                                                     # [S, 24]
+
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 8), 1)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 24), 1)
+
+        phase = jnp.full((S,), _ZF, jnp.int32)
+        value = jnp.zeros((S,), jnp.int32)
+        e = jnp.zeros((S,), jnp.int32)
+        ectx = jnp.ones((S,), jnp.int32)
+        mrem = jnp.zeros((S,), jnp.int32)
+        mctx = jnp.full((S,), cfg.e_lim + 1, jnp.int32)
+
+        for _ in range(cfg.max_bins_per_symbol):            # unrolled
+            active = phase != _DONE
+            ctx = jnp.where(phase == _EXP, jnp.minimum(ectx, cfg.e_lim), 0)
+            ctx = jnp.where(phase == _MANT, jnp.minimum(mctx, cfg.r_lim), ctx)
+            ctx = jnp.where(phase == _SIGN, cfg.sign_ctx, ctx)
+
+            oh = (sub_iota == ctx[:, None]).astype(jnp.int32)
+            st = jnp.sum(rows * oh, axis=1)
+            prob = _onehot_lut(prob_tab, st)
+            range1 = (rng * prob) >> 8
+            rng0 = rng - range1
+            bit = (low >= rng0) & active
+            low = jnp.where(bit, low - rng0, low)
+            rng = jnp.where(active, jnp.where(bit, range1, rng0), rng)
+            refill = active & (rng < 0x100)
+            widx = pos - pos0
+            byte = jnp.sum(jnp.where(w_iota == widx[:, None], wind, 0), axis=1)
+            byte = jnp.where(widx < 24, byte, 0)
+            low = jnp.where(refill, (low << 8) | byte, low)
+            rng = jnp.where(refill, rng << 8, rng)
+            pos = jnp.where(refill, pos + 1, pos)
+
+            nst = _onehot_lut(next_tab, st * 2 + bit.astype(jnp.int32))
+            rows = jnp.where((oh == 1) & active[:, None], nst[:, None], rows)
+
+            b = bit.astype(jnp.int32)
+            is_zf = phase == _ZF
+            is_exp = phase == _EXP
+            is_mant = phase == _MANT
+            is_sign = phase == _SIGN
+            value = jnp.where(is_zf & ~bit, 1, value)
+            value = jnp.where(is_zf & bit, 0, value)
+            value = jnp.where(is_mant, 2 * value + b, value)
+            value = jnp.where(is_sign & bit, -value, value)
+            e2 = jnp.where(is_exp & bit, e + 1, e)
+            ectx = jnp.where(is_exp & bit, ectx + 1, ectx)
+            mrem2 = jnp.where(is_exp & ~bit, e2,
+                              jnp.where(is_mant, mrem - 1, mrem))
+            mctx = jnp.where(is_mant, mctx + 1, mctx)
+            phase2 = phase
+            phase2 = jnp.where(is_zf, jnp.where(bit, _DONE, _EXP), phase2)
+            phase2 = jnp.where(is_exp & ~bit, jnp.where(e2 > 0, _MANT, _SIGN), phase2)
+            phase2 = jnp.where(is_mant & (mrem == 1), _SIGN, phase2)
+            phase2 = jnp.where(is_sign, _DONE, phase2)
+            phase = phase2
+            mrem = mrem2
+            e = e2
+
+        err = err | (phase != _DONE)
+
+        scatter_dn = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1,), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0,),
+        )
+        states = jax.lax.scatter(
+            states, row_start, rows.astype(jnp.uint8), scatter_dn,
+            indices_are_sorted=False, unique_indices=True, mode="clip",
+        )
+
+        diff = jnp.where(neg, -value, value)
+        recon = predict + diff
+        lines = jax.lax.dynamic_update_slice(
+            lines, recon.reshape(S, 1, 1), (0, cur, x_off)
+        )
+        return (states, lines, low, rng, pos, err), recon
+
+    carry0 = (
+        jnp.zeros((S * (NS + 8),), jnp.uint8),
+        jnp.zeros((S, 3, stride), jnp.int32),
+        low0,
+        jnp.full((S,), 0xFF00, jnp.int32),
+        jnp.full((S,), 2, jnp.int32),
+        jnp.zeros((S,), bool),
+    )
+    (_, _, _, _, _, err), recon_t = jax.lax.scan(
+        sym_step, carry0, (x_off_t, cur_t, up_t, upup_t, flags_t)
+    )
+    planes = recon_t.T.reshape(S, H, W, C)
+    return planes, err
+
+
+# ===========================================================================
 # Symbol-lockstep engine (cross-check / fallback)
 # ===========================================================================
 
@@ -414,6 +597,9 @@ _decode_scan = jax.jit(_decode_impl, static_argnames=("H", "W", "C", "cfg"))
 _decode_scan_lockstep = jax.jit(
     _decode_impl_lockstep, static_argnames=("H", "W", "C", "cfg")
 )
+_decode_scan_rowbatch = jax.jit(
+    _decode_impl_rowbatch, static_argnames=("H", "W", "C", "cfg")
+)
 
 
 def _bucket_cap(n: int, quantum: int = 4096) -> int:
@@ -455,21 +641,27 @@ def decode_lanes(
 ) -> np.ndarray:
     """Decode equal-geometry headerless streams -> images [S, H, W, C] u8.
 
-    engine: 'pallas' (fused kernel, default on TPU), 'decision'
-    (while_loop, per-lane pacing), 'lockstep' (fixed 24-step inner loop),
+    engine: 'decision' (while_loop, per-lane pacing; the default),
+    'lockstep' (fixed 24-step inner loop), 'pallas' (experimental fused
+    kernel — bit-exact in interpret mode, but the current Mosaic release
+    rejects its per-lane scalar VMEM stores at compile time on real TPUs),
     or 'auto'.
     """
     H, W, C = shape
     S = len(streams)
     if engine == "auto":
-        engine = "pallas" if jax.default_backend() == "tpu" else "decision"
+        engine = "rowbatch" if jax.default_backend() == "tpu" else "decision"
     if engine == "pallas":
         return _decode_lanes_pallas(streams, shape, cfg)
     cap = _bucket_cap(max((len(s) for s in streams), default=0))
     data = np.zeros((S, cap), dtype=np.uint8)
     for s, blob in enumerate(streams):
         data[s, : len(blob)] = np.frombuffer(blob, dtype=np.uint8)
-    fn = _decode_scan if engine == "decision" else _decode_scan_lockstep
+    fn = {
+        "decision": _decode_scan,
+        "lockstep": _decode_scan_lockstep,
+        "rowbatch": _decode_scan_rowbatch,
+    }[engine]
     planes, err = fn(jnp.asarray(data), H, W, C, cfg)
     if bool(np.asarray(err).any()):
         bad = np.nonzero(np.asarray(err))[0].tolist()

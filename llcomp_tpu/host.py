@@ -39,6 +39,58 @@ def decode_stream(data: bytes, shape: tuple[int, int, int]) -> np.ndarray:
     return out
 
 
+def decode_streams(
+    streams: list[bytes], shape: tuple[int, int, int], n_threads: int = 0
+) -> np.ndarray:
+    """Multithreaded native decode of equal-geometry streams -> [S, H, W, C].
+
+    The host-side analog of device lane parallelism: each stream decodes on
+    its own worker (default thread count = CPU count).
+    """
+    import ctypes
+    import os
+
+    H, W, C = shape
+    S = len(streams)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib = load_library()
+    bufs = [np.frombuffer(s, dtype=np.uint8) for s in streams]
+    out = np.empty((S, H, W, C), dtype=np.uint8)
+    datas = (ctypes.c_void_p * S)(
+        *[b.ctypes.data if b.size else None for b in bufs]
+    )
+    lens = (ctypes.c_size_t * S)(*[b.size for b in bufs])
+    outs = (ctypes.c_void_p * S)(
+        *[out[s].ctypes.data for s in range(S)]
+    )
+    failures = lib.llct_decode_batch(datas, lens, S, W, H, C, outs, n_threads)
+    if failures:
+        raise ValueError(f"corrupt stream(s): {failures} of {S} failed")
+    return out
+
+
+def encode_images(imgs: np.ndarray, n_threads: int = 0) -> list[bytes]:
+    """Multithreaded native encode of equal-shaped images [S, H, W, C]."""
+    import ctypes
+    import os
+
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    S, H, W, C = imgs.shape
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib = load_library()
+    cap = lib.llct_bound(W, H, C)
+    bufs = np.empty((S, cap), dtype=np.uint8)
+    srcs = (ctypes.c_void_p * S)(*[imgs[s].ctypes.data for s in range(S)])
+    outs = (ctypes.c_void_p * S)(*[bufs[s].ctypes.data for s in range(S)])
+    out_lens = (ctypes.c_size_t * S)()
+    lib.llct_encode_batch(srcs, S, W, H, C, outs, cap, out_lens, n_threads)
+    if any(out_lens[s] == 0 for s in range(S)):
+        raise ValueError("native batch encode failed")
+    return [bufs[s, : out_lens[s]].tobytes() for s in range(S)]
+
+
 def expand_slots(meta: np.ndarray, runs: np.ndarray) -> bytes:
     """Native slot-record expansion (alternative to coder.expand_slots)."""
     meta = np.ascontiguousarray(meta, dtype=np.int32)

@@ -51,7 +51,7 @@ def build(force: bool = False) -> pathlib.Path:
     try:
         subprocess.run(
             [cc, "-O3", "-std=c++17", "-shared", "-fPIC", "-DNDEBUG",
-             "-o", str(tmp_path), str(_SRC)],
+             "-pthread", "-o", str(tmp_path), str(_SRC)],
             check=True, capture_output=True,
         )
         tmp_path.replace(out)  # atomic within the directory
@@ -87,6 +87,18 @@ def load_library() -> ctypes.CDLL:
         lib.llct_expand_slots.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
             ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        pp = ctypes.POINTER(ctypes.c_void_p)
+        lib.llct_decode_batch.restype = ctypes.c_int
+        lib.llct_decode_batch.argtypes = [
+            pp, ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, pp, ctypes.c_int,
+        ]
+        lib.llct_encode_batch.restype = None
+        lib.llct_encode_batch.argtypes = [
+            pp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            pp, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
         ]
         _lib = lib
     return _lib

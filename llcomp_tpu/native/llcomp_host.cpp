@@ -18,8 +18,11 @@
 //
 // Build: cc -O2 -shared -fPIC (see build.py); pure C++17, no dependencies.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -383,6 +386,70 @@ int llct_decode_stream(const uint8_t* data, size_t len, int width, int height,
   delete[] rowbuf;
   delete[] model;
   return err ? 1 : 0;
+}
+
+// Batch decode: n streams -> n images of identical geometry, spread over
+// worker threads (each stream is independent; this is the host-side analog
+// of the device's lane parallelism, used for production CPU decode).
+struct BatchJob {
+  const uint8_t* const* datas;
+  const size_t* lens;
+  uint8_t* const* outs;
+  int width, height, channels, n;
+  std::atomic<int> next{0};
+  std::atomic<int> failures{0};
+};
+
+int llct_decode_batch(const uint8_t* const* datas, const size_t* lens, int n,
+                      int width, int height, int channels,
+                      uint8_t* const* outs, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  BatchJob job{datas, lens, outs, width, height, channels, n};
+  auto worker = [&job]() {
+    for (;;) {
+      int i = job.next.fetch_add(1);
+      if (i >= job.n) break;
+      if (llct_decode_stream(job.datas[i], job.lens[i], job.width, job.height,
+                             job.channels, job.outs[i]) != 0)
+        job.failures.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  return job.failures.load();
+}
+
+// Batch encode twin: n images -> n streams (written into caller buffers of
+// `cap` bytes each; out_lens receives the true lengths, 0 marks failure).
+struct EncJob {
+  const uint8_t* const* imgs;
+  uint8_t* const* outs;
+  size_t* out_lens;
+  size_t cap;
+  int width, height, channels, n;
+  std::atomic<int> next{0};
+};
+
+void llct_encode_batch(const uint8_t* const* imgs, int n, int width,
+                       int height, int channels, uint8_t* const* outs,
+                       size_t cap, size_t* out_lens, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  EncJob job{imgs, outs, out_lens, cap, width, height, channels, n};
+  auto worker = [&job]() {
+    for (;;) {
+      int i = job.next.fetch_add(1);
+      if (i >= job.n) break;
+      job.out_lens[i] = llct_encode_stream(
+          job.imgs[i], job.width, job.height, job.channels, job.outs[i],
+          job.cap);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
 }
 
 // Expand encoder slot records (meta = emit | carry<<1 | head<<8, plus run

@@ -89,7 +89,9 @@ def test_decode_engines_agree():
     streams = [oracle.encode(l)[6:] for l in lanes]
     a = jdec.decode_lanes(streams, (8, 16, 3), engine="decision")
     b = jdec.decode_lanes(streams, (8, 16, 3), engine="lockstep")
+    c = jdec.decode_lanes(streams, (8, 16, 3), engine="rowbatch")
     np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
     np.testing.assert_array_equal(a, np.stack(lanes))
 
 
@@ -97,7 +99,7 @@ def test_decode_malicious_exponent_raises():
     """A stream coding >31 exponent ones must raise, like the reference."""
     from tests.test_native import _malicious_stream
 
-    for engine in ("decision", "lockstep"):
+    for engine in ("decision", "lockstep", "rowbatch"):
         with pytest.raises(ValueError):
             jdec.decode_lanes([_malicious_stream()], (4, 4, 3), engine=engine)
 

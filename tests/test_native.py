@@ -93,3 +93,38 @@ def test_native_backend_via_api(host):
     np.testing.assert_array_equal(
         llcomp_tpu.decompress(blob, backend="native"), img
     )
+
+
+def test_native_batch_decode(host):
+    lanes = [make_photo(16, 16, seed=40 + i) for i in range(6)]
+    streams = [host.encode_stream(l) for l in lanes]
+    out = host.decode_streams(streams, (16, 16, 3), n_threads=3)
+    np.testing.assert_array_equal(out, np.stack(lanes))
+
+
+def test_native_batch_encode(host):
+    lanes = np.stack([make_photo(12, 10, seed=50 + i) for i in range(5)])
+    streams = host.encode_images(lanes, n_threads=2)
+    from llcomp_tpu import oracle
+
+    for i in range(5):
+        assert streams[i] == oracle.encode(lanes[i])[6:]
+
+
+def test_native_batch_decode_corrupt(host):
+    good = host.encode_stream(make_photo(8, 8))
+    with pytest.raises(ValueError):
+        host.decode_streams([good, _malicious_stream()], (8, 8, 3))
+
+
+def test_native_batch_throughput_smoke(host):
+    """Parallel speedup sanity (not a strict perf assertion)."""
+    import time
+
+    lanes = np.stack([make_photo(64, 64, seed=i) for i in range(8)])
+    t0 = time.perf_counter()
+    streams = host.encode_images(lanes, n_threads=4)
+    dt = time.perf_counter() - t0
+    out = host.decode_streams(streams, (64, 64, 3), n_threads=4)
+    np.testing.assert_array_equal(out, lanes)
+    assert dt < 5.0
