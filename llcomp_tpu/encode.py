@@ -306,6 +306,21 @@ def _stage_precompute(imgs, cfg: CodecConfig = REV2):
 
 
 @jax.jit
+def _stage_count(diff_g):
+    """Decision totals from the already-computed residuals (no re-transform).
+
+    Returns (max total decisions per lane, max decisions per symbol); lane
+    and symbol padding contribute one decision each (zero residual), which
+    only rounds the buckets up slightly.
+    """
+    ad = jnp.abs(diff_g)
+    e = transform.ilog2(jnp.maximum(ad, 1), max_bits=12)
+    nb = jnp.where(ad != 0, 2 * e + 3, 1)
+    per_lane = jnp.sum(nb, axis=1)          # [G, 8, 128]
+    return jnp.max(per_lane), jnp.max(nb)
+
+
+@jax.jit
 def _stage_fwd_sort(stream_g):
     """Group stream -> context-sorted (key, bit<<20|pos) along axis 1."""
     G, T = stream_g.shape[0], stream_g.shape[1]
@@ -357,12 +372,14 @@ def _pipeline_pallas_bytes(imgs, outcap: int, cfg: CodecConfig = REV2):
 
     n_sym = int(np.prod(imgs.shape[1:]))
     hash_g, diff_g = _stage_precompute(imgs, cfg)
-    stream_g = pk.build_stream(hash_g, diff_g, n_sym)
+    total_max, sym_max = _stage_count(diff_g)
+    sym_max = int(sym_max)
+    K = 8 if sym_max <= 8 else (16 if sym_max <= 16 else 24)
+    stream_g = pk.build_stream(hash_g, diff_g, n_sym, K)
     T = stream_g.shape[1]
     assert T < (1 << 20), "stripe too large for the packed-sort pallas path"
 
-    counts = np.asarray(_count(imgs, cfg))
-    Tc = min(T, _bucket(int(counts.max()), quantum=8192))
+    Tc = min(T, _bucket(int(total_max), quantum=8192))
 
     skey, spay = _stage_fwd_sort(stream_g)
     skey, spay = skey[:, :Tc], spay[:, :Tc]

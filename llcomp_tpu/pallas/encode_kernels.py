@@ -66,9 +66,7 @@ def _use_interpret() -> bool:
 SCHUNK = 32               # symbols per builder grid step (24*64 | 3*TCHUNK)
 
 
-def _make_build_kernel(n_sym: int):
-    K = 24
-
+def _make_build_kernel(n_sym: int, K: int):
     def kernel(hash_ref, diff_ref, out_ref):
         """Per decision slot t in a 32-symbol chunk: symbol t//24, slot t%24.
 
@@ -120,15 +118,21 @@ def _make_build_kernel(n_sym: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_sym",))
-def build_stream(hash_g: jnp.ndarray, diff_g: jnp.ndarray, n_sym: int):
+@functools.partial(jax.jit, static_argnames=("n_sym", "K"))
+def build_stream(hash_g: jnp.ndarray, diff_g: jnp.ndarray, n_sym: int,
+                 K: int = 24):
     """hash/diff [G, n_sym_pad, 8, 128] (n_sym_pad % SCHUNK*2 == 0) ->
-    decisions [G, n_sym_pad*24, 8, 128]; slots past n_sym are -1 padding."""
+    decisions [G, n_sym_pad*K, 8, 128]; slots past n_sym are -1 padding.
+
+    K in {8, 16, 24}: a per-batch bound on decisions per symbol (2e+3), so
+    smooth batches emit 3x fewer padding slots into the big context sort.
+    """
     G, n_sym_pad = hash_g.shape[0], hash_g.shape[1]
-    assert n_sym_pad % (2 * SCHUNK) == 0, n_sym_pad  # T % TCHUNK == 0
-    T = n_sym_pad * 24
+    assert n_sym_pad % (2 * SCHUNK) == 0, n_sym_pad
+    assert K % 8 == 0, K                      # keeps T % TCHUNK == 0
+    T = n_sym_pad * K
     return pl.pallas_call(
-        _make_build_kernel(n_sym),
+        _make_build_kernel(n_sym, K),
         grid=(G, n_sym_pad // SCHUNK),
         in_specs=[
             pl.BlockSpec((1, SCHUNK, SUBS, LANES), lambda g, c: (g, c, 0, 0),
@@ -137,7 +141,7 @@ def build_stream(hash_g: jnp.ndarray, diff_g: jnp.ndarray, n_sym: int):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, SCHUNK * 24, SUBS, LANES), lambda g, c: (g, c, 0, 0),
+            (1, SCHUNK * K, SUBS, LANES), lambda g, c: (g, c, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((G, T, SUBS, LANES), jnp.int32),
