@@ -66,18 +66,18 @@ def main() -> int:
     n_sym = slice_h * W * 3
     mp_total = n_images * H * W / 1e6
 
-    t_up0 = time.time()
-    dev_lanes = jax.block_until_ready(jax.device_put(lanes))
-    t_up = time.time() - t_up0
-
     if engine == "pallas":
         outcap = jenc._outcap(n_sym)
+        t_up = 0.0  # grouped upload happens inside the pipeline
 
         def run():
             return jax.block_until_ready(
-                jenc._pipeline_pallas_bytes(dev_lanes, outcap)
+                jenc._pipeline_pallas_bytes(lanes, outcap)
             )
     else:
+        t_up0 = time.time()
+        dev_lanes = jax.block_until_ready(jax.device_put(lanes))
+        t_up = time.time() - t_up0
         counts = np.asarray(jenc._count(dev_lanes))
         cap = jenc._bucket(int(counts.max()))
 

@@ -650,7 +650,10 @@ def decode_lanes(
     H, W, C = shape
     S = len(streams)
     if engine == "auto":
-        engine = "rowbatch" if jax.default_backend() == "tpu" else "decision"
+        # measured on the axon v5e backend: decision-outer ~0.29 MP/s beats
+        # rowbatch (XLA lowers its slice-gathers catastrophically) and the
+        # pallas kernel does not compile (scalar VMEM stores); see DESIGN.md
+        engine = "decision"
     if engine == "pallas":
         return _decode_lanes_pallas(streams, shape, cfg)
     cap = _bucket_cap(max((len(s) for s in streams), default=0))

@@ -281,28 +281,73 @@ def _pipeline_impl_pallas(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2):
 _BIG = jnp.int32(1 << 22)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _stage_precompute(imgs, cfg: CodecConfig = REV2):
-    """[S,H,W,C] -> folded (hash, diff) in group layout [G, n_sym_pad, 8, 128]."""
-    from .pallas import encode_kernels as pk
+@functools.partial(jax.jit, static_argnames=("H", "W", "C", "cfg"))
+def _stage_precompute_g(imgs_g, H: int, W: int, C: int,
+                        cfg: CodecConfig = REV2):
+    """Grouped images [G, n_sym_pad, 8, 128] u8 -> folded (hash, diff), same layout.
 
-    S = imgs.shape[0]
-    v = transform.rct_forward(imgs)
-    hash_, diff = transform.context_and_residual(v, cfg)
-    hash_ = hash_.reshape(S, -1)
-    diff = diff.reshape(S, -1)
-    n_sym = hash_.shape[1]
-    n_pad = -(-n_sym // (2 * pk.SCHUNK)) * (2 * pk.SCHUNK)
-    Sp = -(-S // pk.GROUP) * pk.GROUP
-    hash_ = jnp.pad(hash_, ((0, Sp - S), (0, n_pad - n_sym)))
-    diff = jnp.pad(diff, ((0, Sp - S), (0, n_pad - n_sym)))
+    All neighbor fetches are static shifts along the symbol axis (symbol
+    index = (h*W + w)*C + i), avoiding the device-side lane relayout that a
+    [S, n_sym] -> group transpose costs (~1s/GB on this backend; the host
+    pre-groups the tiny uint8 input instead).  Semantics: oracle.neighbors /
+    context_and_residual.
+    """
+    n_sym = H * W * C
+    stride = W * C
+    v0 = imgs_g.astype(jnp.int32)
 
-    def grp(a):
-        return a.reshape(Sp // pk.GROUP, pk.SUBS, pk.LANES, n_pad).transpose(
-            0, 3, 1, 2
-        )
+    if C >= 3:
+        r = v0[:, 0::C] - v0[:, 1::C]
+        b = v0[:, 2::C] - v0[:, 1::C]
+        g = v0[:, 1::C] + transform.trunc_div4(b + r)
+        v = _apply_rct(v0, r, g, b, C)
+    else:
+        v = v0
 
-    return grp(hash_), grp(diff)
+    sym = jax.lax.broadcasted_iota(jnp.int32, (1, v.shape[1], 1, 1), 1)
+    w_idx = (sym // C) % W
+    h_idx = sym // stride
+
+    def shift(a, n):
+        """a[..., s-n, ...] with zeros shifted in (masked by position checks)."""
+        if n == 0:
+            return a
+        return jnp.pad(a, ((0, 0), (n, 0), (0, 0), (0, 0)))[:, : a.shape[1]]
+
+    first = (w_idx == 0) & (h_idx == 0)
+    l = jnp.where(w_idx > 0, shift(v, C), jnp.where(~first, shift(v, stride), 128))
+    t = jnp.where(h_idx > 0, shift(v, stride), l)
+    L = jnp.where(w_idx > 1, shift(v, 2 * C), l)
+    tl = jnp.where((h_idx > 0) & (w_idx > 0), shift(v, stride + C), t)
+    trr = jnp.pad(v, ((0, 0), (0, C), (0, 0), (0, 0)))[:, C:]
+    tr = jnp.where((h_idx > 0) & (w_idx < W - 1), shift(trr, stride), t)
+    T = jnp.where(h_idx > 1, shift(v, 2 * stride), t)
+
+    h = (transform._quant11(l - tl) + transform._quant11(tl - t) * 11
+         + transform._quant11(t - tr) * 121)
+    if cfg.large_model:
+        h = h + transform._quant5(L - l) * 605 + transform._quant5(T - t) * 3025
+    predict = jnp.clip(l + t - tl, jnp.minimum(l, t), jnp.maximum(l, t))
+    diff = v - predict
+    neg = h < 0
+    h = jnp.where(neg, -h, h)
+    diff = jnp.where(neg, -diff, diff)
+    # zero out the symbol padding (beyond n_sym): one decision each
+    pad_mask = sym >= n_sym
+    return jnp.where(pad_mask, 0, h), jnp.where(pad_mask, 0, diff)
+
+
+def _apply_rct(v0, r, g, b, C):
+    """Scatter the transformed first three channels back into the plane."""
+    n = v0.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1, 1), 1) % C
+    rs = jnp.repeat(r, C, axis=1)[:, :n]
+    gs = jnp.repeat(g, C, axis=1)[:, :n]
+    bs = jnp.repeat(b, C, axis=1)[:, :n]
+    out = jnp.where(idx == 0, rs, v0)
+    out = jnp.where(idx == 1, gs, out)
+    out = jnp.where(idx == 2, bs, out)
+    return out
 
 
 @jax.jit
@@ -361,7 +406,33 @@ def _stage_expand(meta_g, runs_g, fin, outcap: int):
     return coder.expand_slots_on_device_grouped(meta_g, runs_g, outcap)
 
 
-def _pipeline_pallas_bytes(imgs, outcap: int, cfg: CodecConfig = REV2):
+def _group_host(imgs: np.ndarray) -> np.ndarray:
+    """[S, h, W, C] u8 -> [G, n_pad, 8, 128] u8 (host-side; ~6 MB memcpy).
+
+    Device-side lane relayouts cost ~1 s/GB on this backend, so the tiny
+    uint8 input is pre-grouped on the host instead.
+    """
+    import math
+
+    from .pallas import encode_kernels as pk
+
+    S = imgs.shape[0]
+    C = imgs.shape[-1]
+    n_sym = int(np.prod(imgs.shape[1:]))
+    quantum = math.lcm(2 * pk.SCHUNK, C)
+    n_pad = -(-n_sym // quantum) * quantum
+    Sp = -(-S // pk.GROUP) * pk.GROUP
+    buf = np.zeros((Sp, n_pad), dtype=np.uint8)
+    buf[:S, :n_sym] = imgs.reshape(S, n_sym)
+    return np.ascontiguousarray(
+        buf.reshape(Sp // pk.GROUP, pk.SUBS, pk.LANES, n_pad).transpose(
+            0, 3, 1, 2
+        )
+    )
+
+
+def _pipeline_pallas_bytes(imgs: np.ndarray, outcap: int,
+                           cfg: CodecConfig = REV2):
     """Pallas encode to per-lane byte buffers on device.
 
     Slot records (GBs for big batches) never leave HBM; only the compacted
@@ -370,8 +441,10 @@ def _pipeline_pallas_bytes(imgs, outcap: int, cfg: CodecConfig = REV2):
     """
     from .pallas import encode_kernels as pk
 
-    n_sym = int(np.prod(imgs.shape[1:]))
-    hash_g, diff_g = _stage_precompute(imgs, cfg)
+    H, W, C = imgs.shape[1], imgs.shape[2], imgs.shape[3]
+    n_sym = H * W * C
+    imgs_g = jax.device_put(_group_host(imgs))
+    hash_g, diff_g = _stage_precompute_g(imgs_g, H, W, C, cfg)
     total_max, sym_max = _stage_count(diff_g)
     sym_max = int(sym_max)
     K = 8 if sym_max <= 8 else (16 if sym_max <= 16 else 24)
