@@ -13,8 +13,10 @@ down / ~60 MB/s up, so e2e is link-bound here; production PCIe is ~100x).
 
 A round-trip-exactness gate zeroes vs_baseline on any mismatch.
 
-Env knobs: BENCH_IMAGES (default 8), BENCH_SLICE_H (default 8),
-BENCH_REPS (default 3), BENCH_ENGINE (pallas|xla), BENCH_DECODE=0 to skip.
+Env knobs: BENCH_IMAGES (default 16 = one full 1024-lane kernel group),
+BENCH_SLICE_H (default 8), BENCH_REPS (default 3), BENCH_ENGINE (pallas|xla),
+BENCH_DECODE=0 to skip.  First run in a fresh process pays this backend's
+one-time remote-compile penalty (~4-8 min); results are unaffected.
 """
 from __future__ import annotations
 
@@ -52,7 +54,7 @@ def make_photo(h, w, c=3, seed=42, noise=3):
 
 def main() -> int:
     H = W = int(os.environ.get("BENCH_SIZE", "512"))
-    n_images = int(os.environ.get("BENCH_IMAGES", "8"))
+    n_images = int(os.environ.get("BENCH_IMAGES", "16"))
     slice_h = int(os.environ.get("BENCH_SLICE_H", "8"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     on_tpu = jax.default_backend() == "tpu"
