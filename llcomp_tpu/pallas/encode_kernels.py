@@ -149,6 +149,8 @@ def build_stream(hash_g: jnp.ndarray, diff_g: jnp.ndarray, n_sym: int,
     )(hash_g, diff_g)
 
 
+
+
 # ---------------------------------------------------------------------------
 # State-walk kernel: probabilities for sorted decision runs
 # ---------------------------------------------------------------------------
