@@ -90,6 +90,62 @@ def _cmd_info(args) -> int:
     return 0
 
 
+def _cmd_selftest(args) -> int:
+    """Golden-vector + cross-engine conformance check (SURVEY §4)."""
+    from . import oracle
+
+    golden = [
+        (np.array([[[10, 20, 30]]], dtype=np.uint8),
+         bytes.fromhex("790301000100" "8374be4365c6")),
+        (np.array([[[0, 0, 0], [255, 255, 255]],
+                   [[128, 64, 32], [1, 2, 3]]], dtype=np.uint8),
+         bytes.fromhex("790302000200"
+                       "8369acbe11430f72fa279a75645a50140baf6c")),
+    ]
+    failures = 0
+    for img, expect in golden:
+        if oracle.encode(img) != expect:
+            print(f"FAIL golden encode {img.shape}", file=sys.stderr)
+            failures += 1
+        if not np.array_equal(oracle.decode(expect), img):
+            print(f"FAIL golden decode {img.shape}", file=sys.stderr)
+            failures += 1
+
+    rng = np.random.default_rng(0)
+    probe = np.clip(
+        rng.integers(-3, 4, (24, 16, 3))
+        + np.arange(16)[None, :, None] * 9 + 64, 0, 255
+    ).astype(np.uint8)
+    want = oracle.encode(probe)
+
+    from . import encode as jenc
+
+    engines = {"jax-xla": lambda: jenc.encode_lanes(probe[None], engine="xla")[0],
+               "jax-pallas": lambda: jenc.encode_lanes(probe[None], engine="pallas")[0]}
+    try:
+        from . import host
+
+        engines["native"] = lambda: host.encode_stream(probe)
+    except Exception:
+        print("note: native engine unavailable (no C++ compiler)")
+    for name, fn in engines.items():
+        blob = fn()
+        ok = blob == want[6:]
+        print(f"{'ok  ' if ok else 'FAIL'} engine {name} byte-exact")
+        failures += 0 if ok else 1
+
+    from . import decode as jdec
+
+    for dec_engine in ("decision", "lockstep"):
+        out = jdec.decode_lanes([want[6:]], probe.shape, engine=dec_engine)
+        ok = np.array_equal(out[0], probe)
+        print(f"{'ok  ' if ok else 'FAIL'} decode engine {dec_engine}")
+        failures += 0 if ok else 1
+
+    print("selftest:", "PASS" if failures == 0 else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
 def _cmd_corpus(args) -> int:
     import json
 
@@ -153,6 +209,9 @@ def main(argv=None) -> int:
     pb.add_argument("--verify", action="store_true",
                     help="decode everything back and compare pixels")
     pb.set_defaults(fn=_cmd_corpus)
+
+    ps = sub.add_parser("selftest", help="golden-vector conformance check")
+    ps.set_defaults(fn=_cmd_selftest)
 
     args = p.parse_args(argv)
     try:

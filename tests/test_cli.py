@@ -99,3 +99,8 @@ def test_corpus_empty_dir(tmp_path, capsys):
     d.mkdir()
     assert cli.main(["corpus", str(d)]) == 1
     assert "no images" in capsys.readouterr().err
+
+
+def test_selftest(capsys):
+    assert cli.main(["selftest"]) == 0
+    assert "PASS" in capsys.readouterr().out
