@@ -128,6 +128,23 @@ def main() -> int:
         "platform": jax.devices()[0].platform,
     }
 
+    # -- native host runtime (the framework's CPU production path) -------
+    try:
+        from llcomp_tpu import host
+
+        nimgs = np.stack([make_photo(H, W, seed=7000 + i) for i in range(4)])
+        t0 = time.time()
+        nstreams = host.encode_images(nimgs)
+        n_enc = time.time() - t0
+        t0 = time.time()
+        nout = host.decode_streams(nstreams, (H, W, 3))
+        n_dec = time.time() - t0
+        if np.array_equal(nout, nimgs):
+            result["native_encode_mps"] = round(4 * H * W / 1e6 / n_enc, 3)
+            result["native_decode_mps"] = round(4 * H * W / 1e6 / n_dec, 3)
+    except Exception:
+        pass
+
     # -- correctness gate + decode --------------------------------------
     if os.environ.get("BENCH_DECODE", "1") != "0":
         dec_engine = "decision"

@@ -656,6 +656,15 @@ def decode_lanes(
         engine = "decision"
     if engine == "pallas":
         return _decode_lanes_pallas(streams, shape, cfg)
+    # per-lane serialized gathers degrade superlinearly past ~512 lanes on
+    # the target backend; process large batches in chunks
+    MAX_LANES = 512
+    if S > MAX_LANES and engine in ("decision", "lockstep", "rowbatch"):
+        parts = [
+            decode_lanes(streams[i : i + MAX_LANES], shape, cfg, engine)
+            for i in range(0, S, MAX_LANES)
+        ]
+        return np.concatenate(parts)
     cap = _bucket_cap(max((len(s) for s in streams), default=0))
     data = np.zeros((S, cap), dtype=np.uint8)
     for s, blob in enumerate(streams):

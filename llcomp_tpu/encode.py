@@ -431,6 +431,57 @@ def _group_host(imgs: np.ndarray) -> np.ndarray:
     )
 
 
+# Speculative (K, Tc) per lane-geometry: within a corpus, consecutive batches
+# have similar statistics, so reusing the previous batch's buckets removes the
+# mid-pipeline host sync on the decision counts; the launch returns the count
+# futures so the caller can verify asynchronously and re-encode on a miss.
+_spec_buckets: dict = {}
+
+
+def _pipeline_pallas_launch(imgs: np.ndarray, outcap: int,
+                            cfg: CodecConfig = REV2, speculate: bool = True):
+    """Launch the device chain; returns (bytes, lens, check) where ``check()``
+    returns True iff the speculated buckets covered this batch (always True
+    when not speculating)."""
+    from .pallas import encode_kernels as pk
+
+    H, W, C = imgs.shape[1], imgs.shape[2], imgs.shape[3]
+    n_sym = H * W * C
+    geom = (H, W, C, imgs.shape[0])
+    imgs_g = jax.device_put(_group_host(imgs))
+    hash_g, diff_g = _stage_precompute_g(imgs_g, H, W, C, cfg)
+    total_max, sym_max = _stage_count(diff_g)
+
+    spec = _spec_buckets.get(geom) if speculate else None
+    if spec is None:
+        sm = int(sym_max)
+        K = 8 if sm <= 8 else (16 if sm <= 16 else 24)
+        Tc_req = _bucket(int(total_max), quantum=8192)
+    else:
+        K, Tc_req = spec
+
+    stream_g = pk.build_stream(hash_g, diff_g, n_sym, K)
+    T = stream_g.shape[1]
+    assert T < (1 << 20), "stripe too large for the packed-sort pallas path"
+    Tc = min(T, Tc_req)
+
+    skey, spay = _stage_fwd_sort(stream_g)
+    skey, spay = skey[:, :Tc], spay[:, :Tc]
+    probs_g = pk.walk_probs(_stage_walk_xs(skey, spay))
+    coder_xs = _stage_back_sort(skey, spay, probs_g)
+    meta_g, runs_g, fin = pk.coder_scan(coder_xs)
+    byts, lens = _stage_expand(meta_g, runs_g, fin, outcap)
+
+    def check() -> bool:
+        sm = int(sym_max)
+        tm = int(total_max)
+        kk = 8 if sm <= 8 else (16 if sm <= 16 else 24)
+        _spec_buckets[geom] = (kk, max(_bucket(tm, quantum=8192), Tc_req))
+        return kk <= K and min(T, _bucket(tm, quantum=8192)) <= Tc
+
+    return byts, lens, check
+
+
 def _pipeline_pallas_bytes(imgs: np.ndarray, outcap: int,
                            cfg: CodecConfig = REV2):
     """Pallas encode to per-lane byte buffers on device.
@@ -439,27 +490,10 @@ def _pipeline_pallas_bytes(imgs: np.ndarray, outcap: int,
     byte buffers and per-lane lengths transfer to the host.  Returns
     (bytes [G, outcap, 8, 128] u8, lens [G, 1, 8, 128] i32).
     """
-    from .pallas import encode_kernels as pk
-
-    H, W, C = imgs.shape[1], imgs.shape[2], imgs.shape[3]
-    n_sym = H * W * C
-    imgs_g = jax.device_put(_group_host(imgs))
-    hash_g, diff_g = _stage_precompute_g(imgs_g, H, W, C, cfg)
-    total_max, sym_max = _stage_count(diff_g)
-    sym_max = int(sym_max)
-    K = 8 if sym_max <= 8 else (16 if sym_max <= 16 else 24)
-    stream_g = pk.build_stream(hash_g, diff_g, n_sym, K)
-    T = stream_g.shape[1]
-    assert T < (1 << 20), "stripe too large for the packed-sort pallas path"
-
-    Tc = min(T, _bucket(int(total_max), quantum=8192))
-
-    skey, spay = _stage_fwd_sort(stream_g)
-    skey, spay = skey[:, :Tc], spay[:, :Tc]
-    probs_g = pk.walk_probs(_stage_walk_xs(skey, spay))
-    coder_xs = _stage_back_sort(skey, spay, probs_g)
-    meta_g, runs_g, fin = pk.coder_scan(coder_xs)
-    return _stage_expand(meta_g, runs_g, fin, outcap)
+    byts, lens, check = _pipeline_pallas_launch(imgs, outcap, cfg,
+                                                speculate=False)
+    check()  # record buckets for future speculative launches
+    return byts, lens
 
 
 _pipeline = jax.jit(_pipeline_impl, static_argnames=("cap", "cfg"))
@@ -485,15 +519,25 @@ def encode_lanes_pipelined(
     work.  Sustained throughput ~= max(stage) instead of sum(stages).
     """
     inflight = []
-    for imgs in batches:
+    for i, imgs in enumerate(batches):
         imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
         n_sym = int(np.prod(imgs.shape[1:]))
         outcap = _outcap(n_sym)
-        byts_g, lens_g = _pipeline_pallas_bytes(imgs, outcap, cfg)
-        inflight.append((imgs.shape[0], outcap, byts_g, lens_g))
+        # batch 0 syncs on its real counts (seeding the speculation cache);
+        # later batches launch fully async on speculated buckets
+        byts_g, lens_g, check = _pipeline_pallas_launch(
+            imgs, outcap, cfg, speculate=(i > 0)
+        )
+        inflight.append((imgs, outcap, byts_g, lens_g, check))
 
     out = []
-    for S, outcap, byts_g, lens_g in inflight:
+    for imgs, outcap, byts_g, lens_g, check in inflight:
+        if not check():  # speculation miss: re-encode with true buckets
+            byts_g, lens_g, check2 = _pipeline_pallas_launch(
+                imgs, outcap, cfg, speculate=False
+            )
+            check2()
+        S = imgs.shape[0]
         lens = np.asarray(lens_g).reshape(-1)
         cap2 = min(outcap, max(1024, -(-int(lens.max(initial=1)) // 1024) * 1024))
         byts = np.asarray(byts_g[:, :cap2]).transpose(0, 2, 3, 1).reshape(-1, cap2)

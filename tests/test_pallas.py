@@ -88,3 +88,14 @@ def test_device_expansion_matches_host():
     byts, lens = np.asarray(byts), np.asarray(lens)
     for s in range(S):
         assert byts[s, : lens[s]].tobytes() == want[s]
+
+
+def test_pipelined_speculation_miss_recovers():
+    """A noisy batch after a smooth one forces a bucket-speculation miss."""
+    smooth = np.full((2, 4, 8, 3), 100, np.uint8)
+    noisy = make_noise(4, 8)[None].repeat(2, axis=0).copy()
+    noisy[1] = make_noise(4, 8, seed=9)
+    outs = jenc.encode_lanes_pipelined([smooth, noisy])
+    for i in range(2):
+        assert outs[0][i] == oracle.encode(smooth[i])[6:]
+        assert outs[1][i] == oracle.encode(noisy[i])[6:]
