@@ -518,25 +518,23 @@ def encode_lanes_pipelined(
     uploads and the per-batch count sync overlap earlier batches' device
     work.  Sustained throughput ~= max(stage) instead of sum(stages).
     """
+    # NOTE: speculative (K, Tc) buckets were tried here to remove the
+    # per-batch count sync, but measured *slower*: photo content teeters at
+    # the K=16/24 bucket edge, and either the misses (re-encodes) or the
+    # converged K=24 sort cost more than the ~0.1s sync they save.
     inflight = []
-    for i, imgs in enumerate(batches):
+    for imgs in batches:
         imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
         n_sym = int(np.prod(imgs.shape[1:]))
         outcap = _outcap(n_sym)
-        # batch 0 syncs on its real counts (seeding the speculation cache);
-        # later batches launch fully async on speculated buckets
         byts_g, lens_g, check = _pipeline_pallas_launch(
-            imgs, outcap, cfg, speculate=(i > 0)
+            imgs, outcap, cfg, speculate=False
         )
         inflight.append((imgs, outcap, byts_g, lens_g, check))
 
     out = []
     for imgs, outcap, byts_g, lens_g, check in inflight:
-        if not check():  # speculation miss: re-encode with true buckets
-            byts_g, lens_g, check2 = _pipeline_pallas_launch(
-                imgs, outcap, cfg, speculate=False
-            )
-            check2()
+        check()
         S = imgs.shape[0]
         lens = np.asarray(lens_g).reshape(-1)
         cap2 = min(outcap, max(1024, -(-int(lens.max(initial=1)) // 1024) * 1024))
