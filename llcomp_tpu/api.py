@@ -30,10 +30,13 @@ def pick_slice_height(height: int, width: int, channels: int,
 
     More stripes = more parallel lanes but each stream restarts its adaptive
     model from zero, costing ratio on small stripes.  Default: aim for
-    ``target_lanes`` stripes but never fewer than ``min_rows`` rows per stripe.
+    ``target_lanes`` stripes but never fewer than ``min_rows`` rows per
+    stripe.  Capped so a stripe's worst-case decision stream stays inside the
+    Pallas path's packed-sort position budget (2^20).
     """
     rows = max(min_rows, -(-height // target_lanes))
-    return min(height, rows)
+    max_rows = max(1, (1 << 20) // (24 * width * channels))
+    return max(1, min(height, rows, max_rows))
 
 
 def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,

@@ -556,6 +556,11 @@ def encode_lanes(
     S = imgs.shape[0]
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    n_sym_total = int(np.prod(imgs.shape[1:]))
+    if engine == "pallas" and n_sym_total * 24 >= (1 << 20):
+        # stripe too large for the packed-sort position budget; the XLA
+        # engine has no such limit (pick_slice_height avoids this by default)
+        engine = "xla"
     if engine == "pallas":
         n_sym = int(np.prod(imgs.shape[1:]))
         outcap = _outcap(n_sym)

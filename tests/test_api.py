@@ -75,3 +75,21 @@ def test_oracle_backend():
     np.testing.assert_array_equal(
         llcomp_tpu.decompress(blob, backend="oracle"), img
     )
+
+
+def test_wide_image_slicing_stays_within_pallas_budget():
+    """2048-wide stripes must not exceed the packed-sort position budget."""
+    sh = api.pick_slice_height(2048, 2048, 3)
+    assert sh * 2048 * 3 * 24 < (1 << 20)
+    # and a wide-but-short image still round-trips (falls back if needed)
+    img = make_photo(6, 640, c=3)
+    blob = llcomp_tpu.compress(img, slices=2)
+    np.testing.assert_array_equal(llcomp_tpu.decompress(blob), img)
+
+
+def test_oversized_stripe_falls_back_to_xla():
+    from llcomp_tpu import encode as jenc, oracle
+
+    img = make_photo(3, 5000, c=3)  # n_sym*24 = 1.08M > 2^20
+    out = jenc.encode_lanes(img[None], engine="pallas")
+    assert out[0] == oracle.encode(img)[6:]
