@@ -142,6 +142,10 @@ def main() -> int:
         if np.array_equal(nout, nimgs):
             result["native_encode_mps"] = round(4 * H * W / 1e6 / n_enc, 3)
             result["native_decode_mps"] = round(4 * H * W / 1e6 / n_dec, 3)
+        # single-stream ratio == the reference's own ratio (bit-identical)
+        result["compression_ratio_singlestream"] = round(
+            sum(im.nbytes for im in nimgs) / sum(len(s) for s in nstreams), 3
+        )
     except Exception:
         pass
 

@@ -1,32 +1,29 @@
 """Batched lane-parallel encoder (JAX).
 
-Pipeline (all stages one jit per (shape, T) bucket):
+The central idea on every path is **model-free encode**: the encoder's
+adaptive model walk is fully determined by the decision stream, which is
+computable in advance, so sorting each lane's decisions by context turns the
+63 KB/lane model into a one-byte-per-lane carry (reset at context-run
+starts).  Probabilities then return to stream order and the range-coder scan
+carries just four scalars per lane.  The reference semantics mirrored here:
+encode loop `llcomp.hpp:390-449`, model addressing `llcomp.hpp:440-441`,
+probability/update protocol `llcomp.hpp:439-444`.
 
-  [S, H, W, C] u8
-    └─ rct_forward ─ context_and_residual ─ binarize      (pure map, no loops)
-    └─ compact: pack valid decisions per lane to the front [S, T]
-    └─ probability pre-pass ("model-free encode"): the encoder's adaptive
-       model walk is fully determined by the decision stream, which is known
-       in advance on the encode side.  Stable-sort each lane's decisions by
-       context; within a context run the state recurrence is a *segmented*
-       scan whose carry is ONE BYTE per lane (reset to state 0 at run
-       starts); un-permute the resulting probabilities back to stream order.
-       The big [S, 63409] model array never exists on this path.
-    └─ lax.scan over T decisions: pure element-wise range-coder puts with
-       precomputed probabilities (carry = 4 scalars per lane), emitting one
-       slot record per step
-    └─ finish flush (2 slots)
-  host: expand slot records to per-lane byte streams (one vectorized pass).
+Two engines share that structure:
 
-Why model-free: carrying the 63 KB/lane model through the scan makes XLA
-materialize large per-step traffic (measured ~70 us/step on the target
-backend); with the pre-pass both scans carry only a few bytes per lane.
-A model-in-scan variant is kept as ``_pipeline_impl_modelscan`` for
-cross-checking.
+* **Pallas** (default on TPU): a chain of modest jits in kernel group layout
+  [G, T, 8, 128] end to end — host-side lane grouping, symbol-axis
+  precompute, a stream-builder kernel (K ∈ {8,16,24} slots/symbol bucket), a
+  packed 2-operand context sort that doubles as compaction, the fused
+  state-walk and range-coder kernels, on-device byte expansion, and an
+  occupied-prefix-only transfer.  Every permutation is a ``lax.sort`` (this
+  backend serializes per-element scatter/gather; multi-operand sorts and
+  monolithic programs break its remote compiler — docs/DESIGN.md).
+  ``encode_lanes_pipelined`` overlaps several batches' chains.
 
-Reference semantics: encode loop at `llcomp.hpp:390-449`; model addressing
-``states[hash * 8 + ctx]`` at `llcomp.hpp:440-441`; probability/update
-protocol at `llcomp.hpp:439-444`.
+* **XLA** (CPU / fallback, shard_map-able for the mesh path): the same
+  model-free structure with lax.scans; also the reference-style
+  model-in-scan variant ``_pipeline_impl_modelscan`` for cross-checking.
 """
 from __future__ import annotations
 
@@ -175,98 +172,6 @@ def _pipeline_impl_modelscan(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV
     fmeta, fruns = coder.finish_steps(cod)
     meta = jnp.concatenate([meta, fmeta])
     runs = jnp.concatenate([runs, fruns])
-    return meta, runs
-
-
-def _decision_stream(imgs: jnp.ndarray, T: int, cfg: CodecConfig):
-    """[S, H, W, C] -> uncompacted decision stream [S, T].
-
-    Each element packs ``cidx*2 + bit`` for a valid decision or -1 padding;
-    stream order with fixed 24 slots per symbol (invalid slots interleaved).
-    No compaction: the measured cost of the big packing scatter (~12 ns per
-    element, serialized) exceeds the cost of simply running the fused scans
-    over the 2-4x longer masked stream.
-    """
-    S = imgs.shape[0]
-    v = transform.rct_forward(imgs)
-    hash_, diff = transform.context_and_residual(v, cfg)
-    ctx, bit, valid, _ = transform.binarize(diff.reshape(S, -1), cfg)
-    cidx = hash_.reshape(S, -1, 1) * cfg.substates + ctx
-    packed = jnp.where(valid, (cidx << 1) | bit, -1).reshape(S, -1)
-    n = packed.shape[1]
-    if n < T:
-        packed = jnp.pad(packed, ((0, 0), (0, T - n)), constant_values=-1)
-    return packed
-
-
-def _sorted_probs(stream: jnp.ndarray, walk, cfg: CodecConfig):
-    """Per-decision coding probabilities via sort / segmented walk / sort-back.
-
-    Permutations are applied with ``lax.sort`` in both directions (multi-
-    operand, key-first): this chip sorts 67M elements in ~0.4 ms while XLA
-    gather/scatter of the same volume serializes to seconds (docs/DESIGN.md).
-    ``walk`` maps (sorted bits | seg<<1) [S, T] -> probabilities [S, T].
-    """
-    S, T = stream.shape
-    key = jnp.where(stream >= 0, stream >> 1, jnp.int32(1 << 22))
-    pos = jnp.broadcast_to(
-        jax.lax.broadcasted_iota(jnp.int32, (1, T), 1), (S, T)
-    )
-    skey, sortedp, spos = jax.lax.sort(
-        (key, stream, pos), dimension=1, is_stable=True, num_keys=1
-    )
-    prev = jnp.concatenate(
-        [jnp.full((S, 1), -2, jnp.int32), skey[:, :-1]], axis=1
-    )
-    seg = (skey != prev).astype(jnp.int32)
-    probs_sorted = walk((sortedp & 1) | (seg << 1))
-    _, probs = jax.lax.sort(
-        (spos, probs_sorted), dimension=1, is_stable=False, num_keys=1
-    )
-    return probs
-
-
-def _pipeline_impl_pallas(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2):
-    """Model-free encode with the two hot scans fused as Pallas kernels.
-
-    ``cap`` is ignored (kept for signature compatibility): the Pallas path
-    runs over the full uncompacted 24-slot stream, whose length is a pure
-    function of the lane shape — one compile per shape, no decision counting.
-    Returns lane-major (meta, runs) [Sp, T + 2] including the two
-    finish-flush slots; Sp pads S to the kernel lane-group (padding lanes
-    carry only invalid decisions and are dropped by the caller).
-    """
-    from .pallas import encode_kernels as pk
-
-    S = imgs.shape[0]
-    n_sym = int(np.prod(imgs.shape[1:]))
-    T = -(-(n_sym * cfg.max_bins_per_symbol) // pk.TCHUNK) * pk.TCHUNK
-    stream = _decision_stream(imgs, T, cfg)
-    Sp = -(-S // pk.GROUP) * pk.GROUP
-    if Sp != S:
-        stream = jnp.concatenate(
-            [stream, jnp.full((Sp - S, T), -1, jnp.int32)]
-        )
-
-    def walk(xs):
-        return pk.from_groups(pk.walk_probs(pk.to_groups(xs)))
-
-    probs = _sorted_probs(stream, walk, cfg)
-
-    coder_xs = jnp.where(
-        stream >= 0,
-        (probs & 0xFF) | ((stream & 1) << 8) | (1 << 9),
-        0,
-    )
-    meta_g, runs_g, fin = pk.coder_scan(pk.to_groups(coder_xs))
-    meta = pk.from_groups(meta_g)                          # [Sp, T]
-    runs = pk.from_groups(runs_g)
-
-    fin = fin.reshape(Sp // pk.GROUP, 4, pk.GROUP)
-    carry = tuple(fin[:, i].reshape(Sp) for i in range(4))
-    fmeta, fruns = coder.finish_steps(carry)               # [2, Sp]
-    meta = jnp.concatenate([meta, fmeta.T], axis=1)
-    runs = jnp.concatenate([runs, fruns.T], axis=1)
     return meta, runs
 
 
@@ -500,7 +405,6 @@ _pipeline = jax.jit(_pipeline_impl, static_argnames=("cap", "cfg"))
 _pipeline_modelscan = jax.jit(
     _pipeline_impl_modelscan, static_argnames=("cap", "cfg")
 )
-_pipeline_pallas = jax.jit(_pipeline_impl_pallas, static_argnames=("cap", "cfg"))
 
 
 def _outcap(n_sym: int) -> int:
