@@ -147,10 +147,12 @@ def expand_slots_on_device_grouped(
     offs = ends - length
     lens = ends[:, -1:]
 
-    key1 = jnp.where(emit, offs, BIG)
     pay1 = ((meta >> 8) & 0xFF) | (meta & 2) << 7
-    k1, p1 = jax.lax.sort((key1, pay1), dimension=1, num_keys=1)
-    k1, p1 = k1[:, :outcap], p1[:, :outcap]
+    kp1 = jnp.where(emit, (offs << 9) | pay1, BIG)
+    (kp1,) = jax.lax.sort((kp1,), dimension=1, num_keys=1)
+    kp1 = kp1[:, :outcap]
+    k1 = jnp.where(kp1 < BIG, kp1 >> 9, BIG)
+    p1 = kp1 & 0x1FF
 
     probe_k = jax.lax.broadcasted_iota(jnp.int32, k1.shape, 1) * 2 + 1
     slot_k = jnp.where(k1 < BIG, k1 * 2, BIG)
@@ -172,9 +174,9 @@ def expand_slots_on_device_grouped(
     f_head = sv & 0xFF
     f_fill = jnp.where((sv & 0x100) != 0, 0, 0xFF)
     byte = jnp.where(f_off == pp, f_head, f_fill)
-    k2 = jnp.where(is_probe, pp, BIG)
-    _, ob = jax.lax.sort((k2, byte), dimension=1, num_keys=1)
-    return ob[:, :outcap].astype(jnp.uint8), lens
+    kb = jnp.where(is_probe, (pp << 8) | byte, BIG)
+    (kb,) = jax.lax.sort((kb,), dimension=1, num_keys=1)
+    return (kb[:, :outcap] & 0xFF).astype(jnp.uint8), lens
 
 
 # --------------------------------------------------------------------------
@@ -208,12 +210,14 @@ def expand_slots_on_device(meta: jnp.ndarray, runs: jnp.ndarray, outcap: int):
     offs = ends - length
     lens = ends[:, -1]
 
-    # 1. compact emitting slots (offsets strictly increase per lane, so the
-    #    key orders them; the payload packs head byte + carry flag: 9 bits)
-    key1 = jnp.where(emit, offs, BIG)
+    # 1. compact emitting slots: offsets strictly increase per lane, so
+    #    (offset << 9 | head | carry<<8) sorts by offset as ONE operand
     pay1 = ((meta >> 8) & 0xFF) | (meta & 2) << 7
-    k1, p1 = jax.lax.sort((key1, pay1), dimension=1, num_keys=1)
-    k1, p1 = k1[:, :outcap], p1[:, :outcap]
+    kp1 = jnp.where(emit, (offs << 9) | pay1, BIG)
+    (kp1,) = jax.lax.sort((kp1,), dimension=1, num_keys=1)
+    kp1 = kp1[:, :outcap]
+    k1 = jnp.where(kp1 < BIG, kp1 >> 9, BIG)
+    p1 = kp1 & 0x1FF
 
     # 2. sandwich with one probe per output position; payload packs
     #    (offset+1) << 9 | carry << 8 | head so everything rides one int32
@@ -240,9 +244,9 @@ def expand_slots_on_device(meta: jnp.ndarray, runs: jnp.ndarray, outcap: int):
     f_head = sv & 0xFF
     f_fill = jnp.where((sv & 0x100) != 0, 0, 0xFF)
     byte = jnp.where(f_off == pp, f_head, f_fill)
-    k2 = jnp.where(is_probe, pp, BIG)
-    _, ob = jax.lax.sort((k2, byte), dimension=1, num_keys=1)
-    return ob[:, :outcap].astype(jnp.uint8), lens
+    kb = jnp.where(is_probe, (pp << 8) | byte, BIG)
+    (kb,) = jax.lax.sort((kb,), dimension=1, num_keys=1)
+    return (kb[:, :outcap] & 0xFF).astype(jnp.uint8), lens
 
 
 # --------------------------------------------------------------------------
