@@ -311,13 +311,17 @@ def _stage_walk_xs(skey, spay):
 
 @jax.jit
 def _stage_back_sort(skey, spay, probs_g):
-    """Sorted probs -> compacted stream-order coder input [G, Tc, 8, 128]."""
+    """Sorted probs -> compacted stream-order coder input [G, Tc, 8, 128].
+
+    (position << 9 | bit << 8 | prob) fits 29 bits, so the un-permute is a
+    single-operand sort (positions are unique per lane).
+    """
     valid = skey < _BIG
     pos = spay & 0xFFFFF
-    key2 = jnp.where(valid, pos, _BIG)
     pay2 = (probs_g & 0xFF) | (((spay >> 20) & 1) << 8)
-    k2, p2 = jax.lax.sort((key2, pay2), dimension=1, is_stable=False, num_keys=1)
-    return jnp.where(k2 < _BIG, p2 | (1 << 9), 0)
+    kp = jnp.where(valid, (pos << 9) | pay2, jnp.int32(1 << 30))
+    (kp,) = jax.lax.sort((kp,), dimension=1, is_stable=False, num_keys=1)
+    return jnp.where(kp < (1 << 30), (kp & 0x1FF) | (1 << 9), 0)
 
 
 @functools.partial(jax.jit, static_argnames=("outcap",))
