@@ -35,7 +35,11 @@ def pick_slice_height(height: int, width: int, channels: int,
     Pallas path's packed-sort position budget (2^20).
     """
     rows = max(min_rows, -(-height // target_lanes))
-    max_rows = max(1, (1 << 20) // (24 * width * channels))
+    # HBM budget: the encode pipeline holds ~20 B per decision slot for a
+    # 1024-lane group; cap a stripe's worst-case slot count at ~320k so wide
+    # images stay well inside memory (the 2^20 sort-position budget is the
+    # looser constraint)
+    max_rows = max(1, 320_000 // (24 * width * channels))
     return max(1, min(height, rows, max_rows))
 
 

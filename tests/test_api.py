@@ -80,7 +80,7 @@ def test_oracle_backend():
 def test_wide_image_slicing_stays_within_pallas_budget():
     """2048-wide stripes must not exceed the packed-sort position budget."""
     sh = api.pick_slice_height(2048, 2048, 3)
-    assert sh * 2048 * 3 * 24 < (1 << 20)
+    assert sh * 2048 * 3 * 24 <= 320_000
     # and a wide-but-short image still round-trips (falls back if needed)
     img = make_photo(6, 640, c=3)
     blob = llcomp_tpu.compress(img, slices=2)
