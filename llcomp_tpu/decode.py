@@ -45,6 +45,20 @@ from .core.config import REV2, CodecConfig
 _ZF, _EXP, _MANT, _SIGN, _DONE = 0, 1, 2, 3, 4
 
 
+def _onehot_lut(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Serialization-free small-table lookup: one-hot * table, summed.
+
+    Per-element gathers serialize on this backend (~0.1 us/element); for
+    128/256-entry tables an [*, N] one-hot contraction is pure vector work.
+    """
+    n = table.shape[0]
+    oh = (idx[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, idx.shape + (n,), idx.ndim)).astype(jnp.int32)
+    return jnp.sum(oh * table, axis=-1)
+
+
+
+
 def _quant_flat(table, x):
     return table[jnp.clip(x, -128, 127) & 0xFF]
 
@@ -157,7 +171,7 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
         idx = model_base + jnp.where(active, hsh_c2 + ctx, NS)
 
         st8 = jnp.minimum(states[idx].astype(jnp.int32), 127)
-        prob = transform.STATE_PROB[st8]
+        prob = _onehot_lut(transform.STATE_PROB, st8)
         range1 = (rng * prob) >> 8
         rng0 = rng - range1
         bit = (low >= rng0) & active
@@ -169,7 +183,7 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
         rng3 = jnp.where(refill, rng2 << 8, rng2)
         pos2 = jnp.where(refill, pos + 1, pos)
 
-        nst = transform.NEXT_STATE[st8 * 2 + bit.astype(jnp.int32)]
+        nst = _onehot_lut(transform.NEXT_STATE, st8 * 2 + bit.astype(jnp.int32))
         states = states.at[idx].set(nst.astype(jnp.uint8))
 
         b = bit.astype(jnp.int32)
@@ -237,18 +251,6 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
 # ===========================================================================
 # Row-batched symbol-lockstep engine
 # ===========================================================================
-
-def _onehot_lut(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Serialization-free small-table lookup: one-hot * table, summed.
-
-    Per-element gathers serialize on this backend (~0.1 us/element); for
-    128/256-entry tables an [*, N] one-hot contraction is pure vector work.
-    """
-    n = table.shape[0]
-    oh = (idx[..., None] == jax.lax.broadcasted_iota(
-        jnp.int32, idx.shape + (n,), idx.ndim)).astype(jnp.int32)
-    return jnp.sum(oh * table, axis=-1)
-
 
 def _decode_impl_rowbatch(
     data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = REV2
