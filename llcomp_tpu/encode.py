@@ -259,49 +259,15 @@ def _apply_rct(v0, r, g, b, C):
 def _stage_count(diff_g):
     """Decision totals from the already-computed residuals (no re-transform).
 
-    Returns (max total decisions per lane, max decisions per symbol, max
-    overflow symbols per lane — those with more than 8 decisions); lane and
-    symbol padding contribute one decision each (zero residual), which only
-    rounds the buckets up slightly.
+    Returns (max total decisions per lane, max decisions per symbol); lane
+    and symbol padding contribute one decision each (zero residual), which
+    only rounds the buckets up slightly.
     """
     ad = jnp.abs(diff_g)
     e = transform.ilog2(jnp.maximum(ad, 1), max_bits=12)
     nb = jnp.where(ad != 0, 2 * e + 3, 1)
     per_lane = jnp.sum(nb, axis=1)          # [G, 8, 128]
-    per_lane_over = jnp.sum((nb > 8).astype(jnp.int32), axis=1)
-    return jnp.max(per_lane), jnp.max(nb), jnp.max(per_lane_over)
-
-
-@functools.partial(jax.jit, static_argnames=("N2",))
-def _stage_overflow(hash_g, diff_g, N2: int):
-    """Compact per-lane overflow symbols (>8 decisions) to the front.
-
-    Returns (hashsym [G, N2, 8, 128] = hash | sym<<13, or -1 padding;
-    diff2 [G, N2, 8, 128]).  One single-operand i64 sort: the key packs
-    (overflow? sym : BIG) << 25 | hash << 12 | (diff + 2048).
-    """
-    ad = jnp.abs(diff_g)
-    e = transform.ilog2(jnp.maximum(ad, 1), max_bits=12)
-    over = (ad != 0) & (2 * e + 3 > 8)
-    with jax.enable_x64(True):
-        sym = jax.lax.broadcasted_iota(jnp.int64, diff_g.shape, 1)
-        key = jnp.where(over, sym, jnp.int64(1) << 20)
-        packed = (
-            (key << 25)
-            | (hash_g.astype(jnp.int64) << 12)
-            | (diff_g + 2048).astype(jnp.int64)
-        )
-        (s,) = jax.lax.sort((packed,), dimension=1, is_stable=False, num_keys=1)
-        s = s[:, :N2]
-        sym2 = s >> 25
-        valid = sym2 < (jnp.int64(1) << 20)
-        hashsym = jnp.where(
-            valid,
-            ((s >> 12) & 0x1FFF) | (sym2 << 13),
-            -1,
-        ).astype(jnp.int32)
-        diff2 = (((s >> 0) & 0xFFF) - 2048).astype(jnp.int32)
-    return hashsym, diff2
+    return jnp.max(per_lane), jnp.max(nb)
 
 
 @jax.jit
@@ -324,36 +290,6 @@ def _stage_fwd_sort(stream_g):
         bit = (stream_g & 1).astype(jnp.int64)
         # bit sits BELOW position so ordering is purely (context, position)
         packed = (key64 << 21) | (pos << 1) | bit
-        (s,) = jax.lax.sort((packed,), dimension=1, is_stable=False, num_keys=1)
-        skey = jnp.where(
-            (s >> 21) >= (1 << 20), _BIG, (s >> 21).astype(jnp.int32)
-        )
-        spay = (
-            ((s & 1) << 20) | ((s >> 1) & ((1 << 20) - 1))
-        ).astype(jnp.int32)
-    return skey, spay
-
-
-@jax.jit
-def _stage_fwd_sort2(stream1, stream2, pos2):
-    """Two-tier context sort: base K=8 slots + overflow slots, one i64 key.
-
-    Tier-1 positions derive from the slot index ((i//8)*24 + i%8); tier-2
-    positions arrive precomputed on the common sym*24 + k basis, so the
-    single unstable sort interleaves both tiers in exact stream order.
-    """
-    with jax.enable_x64(True):
-        i1 = jax.lax.broadcasted_iota(jnp.int64, stream1.shape, 1)
-        p1 = (i1 // 8) * 24 + (i1 % 8)
-        k1 = jnp.where(stream1 >= 0, (stream1 >> 1).astype(jnp.int64),
-                       jnp.int64(1) << 40)
-        b1 = (stream1 & 1).astype(jnp.int64)
-        packed1 = (k1 << 21) | (p1 << 1) | b1
-        k2 = jnp.where(stream2 >= 0, (stream2 >> 1).astype(jnp.int64),
-                       jnp.int64(1) << 40)
-        b2 = (stream2 & 1).astype(jnp.int64)
-        packed2 = (k2 << 21) | (pos2.astype(jnp.int64) << 1) | b2
-        packed = jnp.concatenate([packed1, packed2], axis=1)
         (s,) = jax.lax.sort((packed,), dimension=1, is_stable=False, num_keys=1)
         skey = jnp.where(
             (s >> 21) >= (1 << 20), _BIG, (s >> 21).astype(jnp.int32)
@@ -443,30 +379,22 @@ def _pipeline_pallas_launch(imgs: np.ndarray, outcap: int,
     geom = (H, W, C, imgs.shape[0])
     imgs_g = jax.device_put(_group_host(imgs))
     hash_g, diff_g = _stage_precompute_g(imgs_g, H, W, C, cfg)
-    total_max, sym_max, over_max = _stage_count(diff_g)
+    total_max, sym_max = _stage_count(diff_g)
 
     spec = _spec_buckets.get(geom) if speculate else None
     if spec is None:
         sm = int(sym_max)
-        two_tier = sm > 8
-        N2 = _bucket(int(over_max), quantum=pk.OCHUNK) if two_tier else 0
+        K = 8 if sm <= 8 else (16 if sm <= 16 else 24)
         Tc_req = _bucket(int(total_max), quantum=8192)
     else:
-        two_tier, N2, Tc_req = spec
+        K, Tc_req = spec
 
-    assert hash_g.shape[1] * 24 < (1 << 20), (
-        "stripe too large for the packed-sort pallas path"
-    )
-    stream_g = pk.build_stream(hash_g, diff_g, n_sym, 8)
-    if two_tier:
-        hashsym, diff2 = _stage_overflow(hash_g, diff_g, N2)
-        stream2, pos2 = pk.build_overflow(hashsym, diff2)
-        skey, spay = _stage_fwd_sort2(stream_g, stream2, pos2)
-    else:
-        skey, spay = _stage_fwd_sort(stream_g)
-    T = skey.shape[1]
+    stream_g = pk.build_stream(hash_g, diff_g, n_sym, K)
+    T = stream_g.shape[1]
+    assert T < (1 << 20), "stripe too large for the packed-sort pallas path"
     Tc = min(T, Tc_req)
 
+    skey, spay = _stage_fwd_sort(stream_g)
     skey, spay = skey[:, :Tc], spay[:, :Tc]
     probs_g = pk.walk_probs(_stage_walk_xs(skey, spay))
     coder_xs = _stage_back_sort(skey, spay, probs_g)
@@ -476,14 +404,9 @@ def _pipeline_pallas_launch(imgs: np.ndarray, outcap: int,
     def check() -> bool:
         sm = int(sym_max)
         tm = int(total_max)
-        ov = int(over_max)
-        tt = sm > 8
-        n2 = _bucket(ov, quantum=pk.OCHUNK) if tt else 0
-        _spec_buckets[geom] = (
-            tt or two_tier, max(n2, N2), max(_bucket(tm, quantum=8192), Tc_req)
-        )
-        covered_tier = (not tt) or (two_tier and n2 <= N2)
-        return covered_tier and min(T, _bucket(tm, quantum=8192)) <= Tc
+        kk = 8 if sm <= 8 else (16 if sm <= 16 else 24)
+        _spec_buckets[geom] = (kk, max(_bucket(tm, quantum=8192), Tc_req))
+        return kk <= K and min(T, _bucket(tm, quantum=8192)) <= Tc
 
     return byts, lens, check
 

@@ -152,79 +152,6 @@ def build_stream(hash_g: jnp.ndarray, diff_g: jnp.ndarray, n_sym: int,
 
 
 # ---------------------------------------------------------------------------
-# Overflow-tier builder: slots 8..23 of symbols with more than 8 decisions
-# ---------------------------------------------------------------------------
-#
-# Two-tier stream: the base builder emits K=8 slots for EVERY symbol, and
-# this kernel emits slots 8..23 only for the (compacted) overflow symbols —
-# on photo-like content that's ~40% fewer total slots through the big
-# context sort than a uniform K=16 stream.  Positions use the common
-# sym*24 + k basis so the packed sort interleaves tiers correctly.
-
-K2 = 16                     # overflow slots per symbol (8..23)
-OCHUNK = 32                 # overflow symbols per grid step (32*16 = TCHUNK)
-
-
-def _build2_kernel(hashsym_ref, diff_ref, out_ref, pos_ref):
-    def step(t, _):
-        o = t // K2
-        k = 8 + t % K2
-        hs = hashsym_ref[0, o]
-        d = diff_ref[0, o]
-        live = hs >= 0
-        h = hs & 0x1FFF
-        sym = hs >> 13
-        ad = jnp.abs(d)
-        e = jnp.zeros_like(ad)
-        for j in range(1, 12):
-            e = e + ((ad >> j) > 0).astype(jnp.int32)
-
-        in_exp = (k >= 1) & (k <= e)
-        is_stop = k == e + 1
-        in_mant = (k >= e + 2) & (k <= 2 * e + 1)
-        is_sign = k == 2 * e + 2
-        ctx = jnp.where(in_exp, jnp.minimum(k, 4), 0)
-        ctx = jnp.where(is_stop, jnp.minimum(e + 1, 4), ctx)
-        ctx = jnp.where(in_mant, jnp.minimum(5 + (k - e - 2), 6), ctx)
-        ctx = jnp.where(is_sign, 7, ctx)
-        bit = jnp.where(in_exp, 1, 0)
-        mant_i = jnp.clip(2 * e + 1 - k, 0, 30)
-        bit = jnp.where(in_mant, (ad >> mant_i) & 1, bit)
-        bit = jnp.where(is_sign, (d < 0).astype(jnp.int32), bit)
-        valid = (in_exp | is_stop | in_mant | is_sign) & live
-
-        out_ref[0, t] = jnp.where(valid, (h * 8 + ctx) * 2 + bit, -1)
-        pos_ref[0, t] = jnp.where(valid, sym * 24 + k, 0)
-        return 0
-
-    jax.lax.fori_loop(0, OCHUNK * K2, step, 0)
-
-
-@jax.jit
-def build_overflow(hashsym_g: jnp.ndarray, diff2_g: jnp.ndarray):
-    """Compacted overflow symbols -> (decisions, positions) [G, N2*16, 8, 128]."""
-    G, N2 = hashsym_g.shape[0], hashsym_g.shape[1]
-    assert N2 % OCHUNK == 0, N2
-    T2 = N2 * K2
-    blk_in = pl.BlockSpec((1, OCHUNK, SUBS, LANES), lambda g, c: (g, c, 0, 0),
-                          memory_space=pltpu.VMEM)
-    blk_out = pl.BlockSpec((1, OCHUNK * K2, SUBS, LANES),
-                           lambda g, c: (g, c, 0, 0),
-                           memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _build2_kernel,
-        grid=(G, N2 // OCHUNK),
-        in_specs=[blk_in, blk_in],
-        out_specs=(blk_out, blk_out),
-        out_shape=(
-            jax.ShapeDtypeStruct((G, T2, SUBS, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((G, T2, SUBS, LANES), jnp.int32),
-        ),
-        interpret=_use_interpret(),
-    )(hashsym_g, diff2_g)
-
-
-# ---------------------------------------------------------------------------
 # State-walk kernel: probabilities for sorted decision runs
 # ---------------------------------------------------------------------------
 
