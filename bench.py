@@ -90,11 +90,14 @@ def main() -> int:
         lanes = fb  # for the round-trip gate below
         enc_single_s = min(times)
         # sustained: several fresh batches with cross-batch overlap
+        # (best of two rounds: run-to-run variance on this chip is ~20%)
         nb = int(os.environ.get("BENCH_PIPELINE_BATCHES", "4"))
-        fresh = [fresh_batch(100 + j) for j in range(nb)]
-        t0 = time.time()
-        jenc.encode_lanes_pipelined(fresh)
-        sustained = nb * mp_total / (time.time() - t0)
+        sustained = 0.0
+        for round_ in range(2):
+            fresh = [fresh_batch(100 + round_ * 40 + j) for j in range(nb)]
+            t0 = time.time()
+            jenc.encode_lanes_pipelined(fresh)
+            sustained = max(sustained, nb * mp_total / (time.time() - t0))
         headline = max(sustained, mp_total / enc_single_s)
     else:
         t0 = time.time()
