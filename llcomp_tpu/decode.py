@@ -78,7 +78,6 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
     dflat = d32.reshape(-1)
     data_base = jnp.arange(S) * cap
     model_base = jnp.arange(S) * (NS + 1)
-    lines_base = jnp.arange(S) * (3 * stride)
     out_base = jnp.arange(S) * n_sym
     q11 = transform._QUANT11
     q5 = transform._QUANT5
@@ -89,22 +88,14 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
         b = dflat[data_base + jnp.minimum(pos, cap - 1)]
         return jnp.where(pos < cap, b, 0)  # zero past end, like the reference
 
-    def line_at(lines, row, off):
-        return lines[lines_base + row * stride + off]
-
     def step(st):
-        (states, lines, out, low, rng, pos, k, i, w, h, row, phase, value, e,
+        (states, out, low, rng, pos, k, i, w, h, phase, value, e,
          ectx, mrem, mctx, hsh_c, predict_c, neg_c, pending, recon_p, err,
          it) = st
 
         fin = k >= n_sym
         # ---- (a) writeback of a symbol completed last iteration ----------
         wb = pending & ~fin
-        off = w * C + i
-        # recon was computed at completion; write to lines ring + output
-        lines = lines.at[
-            jnp.where(wb, lines_base + row * stride + off, S * 3 * stride)
-        ].set(recon_p, mode="drop")
         out = out.at[jnp.where(wb, out_base + k, S * n_sym)].set(
             recon_p, mode="drop"
         )
@@ -116,32 +107,29 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
         roll_w = roll_i & (w2 >= W)
         w2 = jnp.where(roll_w, 0, w2)
         h2 = jnp.where(roll_w, h + 1, h)
-        row2 = jnp.where(roll_w, (row + 1) % 3, row)
         k2 = jnp.where(wb, k + 1, k)
         fin = k2 >= n_sym
         active = ~fin
 
         # ---- (b) context for lanes starting a new symbol -----------------
+        # neighbors come straight from the output plane at fixed symbol-order
+        # offsets from k (no separate line ring: one fewer per-lane scatter
+        # each iteration)
         start = (pending | (it == 0)) & active
-        off2 = w2 * C + i2
-        up = (row2 + 2) % 3
-        upup = (row2 + 1) % 3
-        x = off2
         w_pos = w2 > 0
         h_pos = h2 > 0
 
+        def out_at(delta):
+            return out[out_base + jnp.clip(k2 - delta, 0, n_sym - 1)]
+
         l = jnp.where(
-            w_pos, line_at(lines, row2, jnp.maximum(x - C, 0)),
-            jnp.where(h_pos, line_at(lines, up, x), 128),
+            w_pos, out_at(C), jnp.where(h_pos, out_at(stride), 128)
         )
-        t = jnp.where(h_pos, line_at(lines, up, x), l)
-        L = jnp.where(w2 > 1, line_at(lines, row2, jnp.maximum(x - 2 * C, 0)), l)
-        tl = jnp.where(h_pos & w_pos, line_at(lines, up, jnp.maximum(x - C, 0)), t)
-        tr = jnp.where(
-            h_pos & (w2 < W - 1),
-            line_at(lines, up, jnp.minimum(x + C, stride - 1)), t,
-        )
-        T = jnp.where(h2 > 1, line_at(lines, upup, x), t)
+        t = jnp.where(h_pos, out_at(stride), l)
+        L = jnp.where(w2 > 1, out_at(2 * C), l)
+        tl = jnp.where(h_pos & w_pos, out_at(stride + C), t)
+        tr = jnp.where(h_pos & (w2 < W - 1), out_at(stride - C), t)
+        T = jnp.where(h2 > 1, out_at(2 * stride), t)
 
         hsh = (
             _quant_flat(q11, l - tl)
@@ -212,25 +200,24 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
         diff = jnp.where(neg_c2, -value, value)
         recon_p2 = jnp.where(done_now, predict_c2 + diff, recon_p)
 
-        return (states, lines, out, low3, rng3, pos2, k2, i2, w2, h2, row2,
+        return (states, out, low3, rng3, pos2, k2, i2, w2, h2,
                 phase2, value, e2, ectx2, mrem2, mctx2, hsh_c2, predict_c2,
                 neg_c2, done_now, recon_p2, err, it + 1)
 
     def cond(st):
-        k, pending, err, it = st[6], st[20], st[22], st[23]
-        unfinished = (k < st[6].dtype.type(n_sym)) | pending
+        k, pending, err, it = st[5], st[18], st[20], st[21]
+        unfinished = (k < n_sym) | pending
         # safety bound: a valid stream never exceeds 24 decisions/symbol
         return jnp.any(unfinished) & (it < n_sym * cfg.max_bins_per_symbol + 2)
 
     low0 = (d32[:, 0] << 8) | d32[:, 1]
     init = (
         jnp.zeros((S * (NS + 1),), jnp.uint8),        # states
-        jnp.zeros((S * 3 * stride,), jnp.int32),      # lines
         jnp.zeros((S * n_sym,), jnp.int32),           # out
         low0,                                         # low
         jnp.full((S,), 0xFF00, jnp.int32),            # range
         jnp.full((S,), 2, jnp.int32),                 # pos
-        zero_i, zero_i, zero_i, zero_i, zero_i,       # k, i, w, h, row
+        zero_i, zero_i, zero_i, zero_i,               # k, i, w, h
         jnp.full((S,), _DONE, jnp.int32),             # phase
         zero_i, zero_i, jnp.ones((S,), jnp.int32),    # value, e, ectx
         zero_i, jnp.full((S,), cfg.e_lim + 1, jnp.int32),  # mrem, mctx
@@ -241,9 +228,9 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
         jnp.zeros((), jnp.int32),                     # iteration counter
     )
     final = jax.lax.while_loop(cond, step, init)
-    out, err = final[2], final[22]
+    out, err = final[1], final[20]
     # a lane that hit the iteration bound without finishing is corrupt
-    err = err | (final[6] < n_sym)
+    err = err | (final[5] < n_sym)
     planes = out.reshape(S, H, W, C)
     return planes, err
 

@@ -28,6 +28,7 @@ Two engines share that structure:
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -300,6 +301,45 @@ def _stage_fwd_sort(stream_g):
     return skey, spay
 
 
+@functools.partial(jax.jit, static_argnames=("n_sym",))
+def _stage_sym_sort(hash_g, diff_g, n_sym: int):
+    """Symbol-granular context sort (docs/DESIGN.md): sort *symbols* by
+    (hash, position) — n_sym elements/lane instead of n_sym*K decision
+    slots — and hand the walk kernel everything it needs to regenerate the
+    decisions: (origsym << 14 | live << 13 | seg << 12 | diff+1274) i32.
+
+    Key layout (42 bits): hash[13] | sympos[17] | diff+1274[12]; symbol
+    padding gets hash 0x1FFF so it sorts after every real context run.
+    """
+    with jax.enable_x64(True):
+        sym = jax.lax.broadcasted_iota(jnp.int64, hash_g.shape, 1)
+        live = sym < n_sym
+        h64 = jnp.where(live, hash_g.astype(jnp.int64), jnp.int64(0x1FFF))
+        packed = (h64 << 29) | (sym << 12) | (diff_g + 1274).astype(jnp.int64)
+        (s,) = jax.lax.sort((packed,), dimension=1, is_stable=False, num_keys=1)
+        h_s = (s >> 29).astype(jnp.int32)
+        rest = (s & ((jnp.int64(1) << 29) - 1)).astype(jnp.int32)  # sym|diff
+    prev = jnp.concatenate(
+        [jnp.full_like(h_s[:, :1], -2), h_s[:, :-1]], axis=1
+    )
+    seg = (h_s != prev).astype(jnp.int32)
+    live_s = (h_s != 0x1FFF).astype(jnp.int32)
+    return ((rest >> 12) << 14) | (live_s << 13) | (seg << 12) | (rest & 0xFFF)
+
+
+@jax.jit
+def _stage_compact(kp):
+    """Packed walk slots -> compacted stream-order coder input.
+
+    kp = slotpos << 10 | valid << 9 | bit << 8 | prob (invalid slots are
+    INT32_MAX), so a single-operand ascending sort un-permutes to stream
+    order and front-packs the valid decisions in one pass; the low 10 bits
+    are exactly the coder xs format (prob | bit<<8 | valid<<9).
+    """
+    (s,) = jax.lax.sort((kp,), dimension=1, is_stable=False, num_keys=1)
+    return jnp.where(s != jnp.int32(0x7FFFFFFF), s & 0x3FF, 0)
+
+
 @jax.jit
 def _stage_walk_xs(skey, spay):
     prev = jnp.concatenate(
@@ -389,15 +429,23 @@ def _pipeline_pallas_launch(imgs: np.ndarray, outcap: int,
     else:
         K, Tc_req = spec
 
-    stream_g = pk.build_stream(hash_g, diff_g, n_sym, K)
-    T = stream_g.shape[1]
+    T = hash_g.shape[1] * K
     assert T < (1 << 20), "stripe too large for the packed-sort pallas path"
     Tc = min(T, Tc_req)
 
-    skey, spay = _stage_fwd_sort(stream_g)
-    skey, spay = skey[:, :Tc], spay[:, :Tc]
-    probs_g = pk.walk_probs(_stage_walk_xs(skey, spay))
-    coder_xs = _stage_back_sort(skey, spay, probs_g)
+    if os.environ.get("LLCT_ENCODE_VARIANT", "symbol") == "symbol":
+        # symbol-granular context sort: n_sym i64 elements/lane instead of
+        # n_sym*K; the walk kernel regenerates decisions and emits the
+        # compacting back sort's operand directly (docs/DESIGN.md)
+        xs_sym = _stage_sym_sort(hash_g, diff_g, n_sym)
+        kp = pk.walk_symbols(xs_sym, K)
+        coder_xs = _stage_compact(kp)[:, :Tc]
+    else:
+        stream_g = pk.build_stream(hash_g, diff_g, n_sym, K)
+        skey, spay = _stage_fwd_sort(stream_g)
+        skey, spay = skey[:, :Tc], spay[:, :Tc]
+        probs_g = pk.walk_probs(_stage_walk_xs(skey, spay))
+        coder_xs = _stage_back_sort(skey, spay, probs_g)
     meta_g, runs_g, fin = pk.coder_scan(coder_xs)
     byts, lens = _stage_expand(meta_g, runs_g, fin, outcap)
 

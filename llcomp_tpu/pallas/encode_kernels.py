@@ -152,6 +152,138 @@ def build_stream(hash_g: jnp.ndarray, diff_g: jnp.ndarray, n_sym: int,
 
 
 # ---------------------------------------------------------------------------
+# Symbol-walk kernel: hash-sorted symbols -> back-sort-ready coder slots
+# ---------------------------------------------------------------------------
+#
+# Symbol-granular variant of the probability pre-pass (docs/DESIGN.md): the
+# big context sort runs over *symbols* (n_sym elements/lane) instead of
+# decision slots (n_sym*K), because all <=24 decisions of a symbol share its
+# context hash and their sub-context sequence is recomputable from the
+# residual alone.  This kernel walks the sorted symbols with the hash's full
+# 8-substate model row packed into two i32 registers per lane (4 sub-states
+# x 8 bits each), regenerates each symbol's decisions inline (same slot
+# schedule as the stream builder above), and emits packed
+# (slotpos << 10 | valid << 9 | bit << 8 | prob) records — i.e. the exact
+# operand of the compacting un-permute sort that feeds the range coder.
+
+
+def _make_symwalk_kernel(K: int):
+    def kernel(xs_ref, prob_tab, ns0_tab, ns1_tab, out_ref, lo_s, hi_s):
+        """xs: (origsym << 14 | valid << 13 | seg << 12 | diff+1274), sorted
+        by (hash, position) along the symbol axis (|diff| <= 1274, SURVEY
+        §2.4, so the residual field needs exactly 12 bits)."""
+        tchunk = pl.program_id(1)
+
+        @pl.when(tchunk == 0)
+        def _():
+            lo_s[:] = jnp.zeros((SUBS, LANES), jnp.int32)
+            hi_s[:] = jnp.zeros((SUBS, LANES), jnp.int32)
+
+        ptab = prob_tab[:]
+        n0 = ns0_tab[:]
+        n1 = ns1_tab[:]
+
+        def sym_step(j, carry):
+            lo, hi = carry
+            x = xs_ref[0, j]
+            d = (x & 0xFFF) - 1274
+            seg = (x & (1 << 12)) != 0
+            live = (x & (1 << 13)) != 0
+            origsym = x >> 14
+            # fresh context: reset the whole 8-substate row
+            lo = jnp.where(seg, 0, lo)
+            hi = jnp.where(seg, 0, hi)
+
+            ad = jnp.abs(d)
+            e = jnp.zeros_like(ad)
+            for jj in range(1, 12):
+                e = e + ((ad >> jj) > 0).astype(jnp.int32)
+            nz = ad != 0
+
+            for k in range(K):
+                in_exp = (k >= 1) & (k <= e)
+                is_stop = k == e + 1
+                in_mant = (k >= e + 2) & (k <= 2 * e + 1)
+                is_sign = k == 2 * e + 2
+
+                ctx = jnp.where(in_exp, jnp.minimum(k, 4), 0)
+                ctx = jnp.where(is_stop, jnp.minimum(e + 1, 4), ctx)
+                ctx = jnp.where(in_mant, jnp.minimum(5 + (k - e - 2), 6), ctx)
+                ctx = jnp.where(is_sign, 7, ctx)
+
+                bit = jnp.where(in_exp, 1, 0)
+                mant_i = jnp.clip(2 * e + 1 - k, 0, 30)
+                bit = jnp.where(in_mant, (ad >> mant_i) & 1, bit)
+                bit = jnp.where(is_sign, (d < 0).astype(jnp.int32), bit)
+                is_zf = k == 0
+                bit = jnp.where(is_zf & ~nz, 1, jnp.where(is_zf, 0, bit))
+                valid = (is_zf | (nz & (in_exp | is_stop | in_mant | is_sign))
+                         ) & live
+
+                # extract substate ctx from the packed row, look up, update
+                sh = (ctx & 3) * 8
+                word = jnp.where(ctx < 4, lo, hi)
+                st = (word >> sh) & 0xFF
+                prob = _lut(ptab, st)
+                ns = jnp.where(bit == 1, _lut(n1, st), _lut(n0, st))
+                upd = (word & ~(0xFF << sh)) | (ns << sh)
+                lo = jnp.where(valid & (ctx < 4), upd, lo)
+                hi = jnp.where(valid & (ctx >= 4), upd, hi)
+
+                kp = jnp.where(
+                    valid,
+                    (((origsym * K + k) << 10) | (1 << 9) | (bit << 8) | prob),
+                    jnp.int32(0x7FFFFFFF),
+                )
+                out_ref[0, j * K + k] = kp
+            return lo, hi
+
+        lo, hi = jax.lax.fori_loop(0, SYMCHUNK, sym_step, (lo_s[:], hi_s[:]))
+        lo_s[:] = lo
+        hi_s[:] = hi
+
+    return kernel
+
+
+SYMCHUNK = 32             # symbols per walk grid step
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def walk_symbols(xs: jnp.ndarray, K: int = 24) -> jnp.ndarray:
+    """Sorted symbols [G, n_sym_pad, 8, 128] -> packed coder slots
+    [G, n_sym_pad*K, 8, 128] i32 ready for the compacting back sort."""
+    G, n_pad = xs.shape[0], xs.shape[1]
+    assert n_pad % SYMCHUNK == 0, n_pad
+    assert K % 8 == 0, K
+    return pl.pallas_call(
+        _make_symwalk_kernel(K),
+        grid=(G, n_pad // SYMCHUNK),
+        in_specs=[
+            pl.BlockSpec((1, SYMCHUNK, SUBS, LANES), lambda g, c: (g, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBS, LANES), lambda g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBS, LANES), lambda g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBS, LANES), lambda g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SYMCHUNK * K, SUBS, LANES), lambda g, c: (g, c, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, n_pad * K, SUBS, LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((SUBS, LANES), jnp.int32)] * 2,
+        interpret=_use_interpret(),
+    )(
+        xs,
+        jnp.asarray(_PROB_B),
+        jnp.asarray(_NS0_B),
+        jnp.asarray(_NS1_B),
+    )
+
+
+# ---------------------------------------------------------------------------
 # State-walk kernel: probabilities for sorted decision runs
 # ---------------------------------------------------------------------------
 

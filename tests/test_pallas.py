@@ -99,3 +99,19 @@ def test_pipelined_speculation_miss_recovers():
     for i in range(2):
         assert outs[0][i] == oracle.encode(smooth[i])[6:]
         assert outs[1][i] == oracle.encode(noisy[i])[6:]
+
+
+def test_encode_variants_byte_identical(monkeypatch):
+    """The symbol-granular and decision-granular pallas chains must emit
+    identical bytes (both equal to the oracle) on mixed content."""
+    lanes = np.stack(
+        [make_photo(4, 8, seed=50 + i) for i in range(2)]
+        + [make_noise(4, 8, seed=3), np.full((4, 8, 3), 7, np.uint8)]
+    )
+    monkeypatch.setenv("LLCT_ENCODE_VARIANT", "symbol")
+    a = jenc.encode_lanes(lanes, engine="pallas")
+    monkeypatch.setenv("LLCT_ENCODE_VARIANT", "decision")
+    b = jenc.encode_lanes(lanes, engine="pallas")
+    assert a == b
+    for i in range(len(lanes)):
+        assert a[i] == oracle.encode(lanes[i])[6:]
