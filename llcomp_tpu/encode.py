@@ -260,15 +260,18 @@ def _apply_rct(v0, r, g, b, C):
 def _stage_count(diff_g):
     """Decision totals from the already-computed residuals (no re-transform).
 
-    Returns (max total decisions per lane, max decisions per symbol); lane
-    and symbol padding contribute one decision each (zero residual), which
-    only rounds the buckets up slightly.
+    Returns (max total decisions per lane, max decisions per symbol, max
+    total decision QUADS per lane — each symbol contributes ceil(nb/4)
+    four-slot records to the packed compacting sort); lane and symbol
+    padding contribute one decision each (zero residual), which only rounds
+    the buckets up slightly.
     """
     ad = jnp.abs(diff_g)
     e = transform.ilog2(jnp.maximum(ad, 1), max_bits=12)
     nb = jnp.where(ad != 0, 2 * e + 3, 1)
     per_lane = jnp.sum(nb, axis=1)          # [G, 8, 128]
-    return jnp.max(per_lane), jnp.max(nb)
+    per_lane_q = jnp.sum((nb + 3) >> 2, axis=1)
+    return jnp.max(per_lane), jnp.max(nb), jnp.max(per_lane_q)
 
 
 @jax.jit
@@ -329,15 +332,39 @@ def _stage_sym_sort(hash_g, diff_g, n_sym: int):
 
 @jax.jit
 def _stage_compact(kp):
-    """Packed walk slots -> compacted stream-order coder input.
+    """Packed walk slots -> compacted stream-order coder input, 4 at a time.
 
     kp = slotpos << 10 | valid << 9 | bit << 8 | prob (invalid slots are
-    INT32_MAX), so a single-operand ascending sort un-permutes to stream
-    order and front-packs the valid decisions in one pass; the low 10 bits
-    are exactly the coder xs format (prob | bit<<8 | valid<<9).
+    INT32_MAX).  A symbol's valid slots are a prefix of its K-slot block and
+    K % 4 == 0, so four consecutive records share quad validity with the
+    first: packing each aligned quad into ONE i64
+    (slotquad << 40 | rec4 << 30 | rec3 << 20 | rec2 << 10 | rec1) quarters
+    the element count of the compacting un-permute sort at only double the
+    width.  The ascending sort both restores stream order and front-packs
+    the live quads; records unpack straight into the coder xs format
+    (prob | bit<<8 | valid<<9), with dead records as 0 (valid bit clear).
     """
-    (s,) = jax.lax.sort((kp,), dimension=1, is_stable=False, num_keys=1)
-    return jnp.where(s != jnp.int32(0x7FFFFFFF), s & 0x3FF, 0)
+    G, T = kp.shape[0], kp.shape[1]
+    q = kp.reshape(G, T // 4, 4, kp.shape[2], kp.shape[3])
+    r = [q[:, :, j] for j in range(4)]
+    live = r[0] != jnp.int32(0x7FFFFFFF)
+    rec = [jnp.where(x != jnp.int32(0x7FFFFFFF), x & 0x3FF, 0) for x in r]
+    with jax.enable_x64(True):
+        kq = (
+            (r[0].astype(jnp.int64) >> 12) << 40
+            | (rec[3].astype(jnp.int64) << 30)
+            | (rec[2].astype(jnp.int64) << 20)
+            | (rec[1].astype(jnp.int64) << 10)
+            | rec[0].astype(jnp.int64)
+        )
+        kq = jnp.where(live, kq, jnp.int64(0x7FFFFFFFFFFFFFFF))
+        (s,) = jax.lax.sort((kq,), dimension=1, is_stable=False, num_keys=1)
+        dead = s == jnp.int64(0x7FFFFFFFFFFFFFFF)
+        outs = [
+            jnp.where(dead, 0, (s >> (10 * j)) & 0x3FF).astype(jnp.int32)
+            for j in range(4)
+        ]
+    return jnp.stack(outs, axis=2).reshape(G, T, kp.shape[2], kp.shape[3])
 
 
 @jax.jit
@@ -419,15 +446,16 @@ def _pipeline_pallas_launch(imgs: np.ndarray, outcap: int,
     geom = (H, W, C, imgs.shape[0])
     imgs_g = jax.device_put(_group_host(imgs))
     hash_g, diff_g = _stage_precompute_g(imgs_g, H, W, C, cfg)
-    total_max, sym_max = _stage_count(diff_g)
+    total_max, sym_max, quad_max = _stage_count(diff_g)
 
     spec = _spec_buckets.get(geom) if speculate else None
     if spec is None:
         sm = int(sym_max)
         K = 8 if sm <= 8 else (16 if sm <= 16 else 24)
         Tc_req = _bucket(int(total_max), quantum=8192)
+        Tq_req = _bucket(int(quad_max), quantum=2048)
     else:
-        K, Tc_req = spec
+        K, Tc_req, Tq_req = spec
 
     T = hash_g.shape[1] * K
     assert T < (1 << 20), "stripe too large for the packed-sort pallas path"
@@ -439,7 +467,7 @@ def _pipeline_pallas_launch(imgs: np.ndarray, outcap: int,
         # compacting back sort's operand directly (docs/DESIGN.md)
         xs_sym = _stage_sym_sort(hash_g, diff_g, n_sym)
         kp = pk.walk_symbols(xs_sym, K)
-        coder_xs = _stage_compact(kp)[:, :Tc]
+        coder_xs = _stage_compact(kp)[:, : min(T, Tq_req * 4)]
     else:
         stream_g = pk.build_stream(hash_g, diff_g, n_sym, K)
         skey, spay = _stage_fwd_sort(stream_g)
@@ -452,9 +480,18 @@ def _pipeline_pallas_launch(imgs: np.ndarray, outcap: int,
     def check() -> bool:
         sm = int(sym_max)
         tm = int(total_max)
+        qm = int(quad_max)
         kk = 8 if sm <= 8 else (16 if sm <= 16 else 24)
-        _spec_buckets[geom] = (kk, max(_bucket(tm, quantum=8192), Tc_req))
-        return kk <= K and min(T, _bucket(tm, quantum=8192)) <= Tc
+        _spec_buckets[geom] = (
+            kk,
+            max(_bucket(tm, quantum=8192), Tc_req),
+            max(_bucket(qm, quantum=2048), Tq_req),
+        )
+        return (
+            kk <= K
+            and min(T, _bucket(tm, quantum=8192)) <= Tc
+            and _bucket(qm, quantum=2048) <= Tq_req
+        )
 
     return byts, lens, check
 
