@@ -434,19 +434,36 @@ def _group_host(imgs: np.ndarray) -> np.ndarray:
 _spec_buckets: dict = {}
 
 
+def _launch_stage_counts(imgs: np.ndarray, cfg: CodecConfig = REV2):
+    """Phase A of the device chain: upload, precompute and *dispatch* the
+    decision counts without syncing on them.  Returns an opaque context for
+    ``_launch_stage_rest``; keeping the count sync out of this phase lets a
+    multi-batch caller overlap every batch's count latency with the next
+    batch's host grouping + upload."""
+    H, W, C = imgs.shape[1], imgs.shape[2], imgs.shape[3]
+    imgs_g = jax.device_put(_group_host(imgs))
+    hash_g, diff_g = _stage_precompute_g(imgs_g, H, W, C, cfg)
+    counts = _stage_count(diff_g)
+    return (imgs, hash_g, diff_g, counts, cfg)
+
+
 def _pipeline_pallas_launch(imgs: np.ndarray, outcap: int,
                             cfg: CodecConfig = REV2, speculate: bool = True):
     """Launch the device chain; returns (bytes, lens, check) where ``check()``
     returns True iff the speculated buckets covered this batch (always True
     when not speculating)."""
+    return _launch_stage_rest(
+        _launch_stage_counts(imgs, cfg), outcap, speculate
+    )
+
+
+def _launch_stage_rest(ctx, outcap: int, speculate: bool = True):
     from .pallas import encode_kernels as pk
 
+    imgs, hash_g, diff_g, (total_max, sym_max, quad_max), cfg = ctx
     H, W, C = imgs.shape[1], imgs.shape[2], imgs.shape[3]
     n_sym = H * W * C
     geom = (H, W, C, imgs.shape[0])
-    imgs_g = jax.device_put(_group_host(imgs))
-    hash_g, diff_g = _stage_precompute_g(imgs_g, H, W, C, cfg)
-    total_max, sym_max, quad_max = _stage_count(diff_g)
 
     spec = _spec_buckets.get(geom) if speculate else None
     if spec is None:
@@ -534,15 +551,21 @@ def encode_lanes_pipelined(
     # NOTE: speculative (K, Tc) buckets were tried here to remove the
     # per-batch count sync, but measured *slower*: photo content teeters at
     # the K=16/24 bucket edge, and either the misses (re-encodes) or the
-    # converged K=24 sort cost more than the ~0.1s sync they save.
-    inflight = []
+    # converged K=24 sort cost more than the ~0.1s sync they save.  The
+    # two-phase dispatch below overlaps the sync latency instead: all
+    # uploads + count dispatches go out first, so by the time a batch's
+    # buckets are needed its counts are already on their way back.
+    staged = []
     for imgs in batches:
         imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+        staged.append(_launch_stage_counts(imgs, cfg))
+    inflight = []
+    for ctx in staged:
+        imgs = ctx[0]
         n_sym = int(np.prod(imgs.shape[1:]))
         outcap = _outcap(n_sym)
-        byts_g, lens_g, check = _pipeline_pallas_launch(
-            imgs, outcap, cfg, speculate=False
-        )
+        byts_g, lens_g, check = _launch_stage_rest(ctx, outcap,
+                                                  speculate=False)
         inflight.append((imgs, outcap, byts_g, lens_g, check))
 
     out = []
