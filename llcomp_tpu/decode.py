@@ -645,26 +645,31 @@ def decode_lanes(
         engine = "decision"
     if engine == "pallas":
         return _decode_lanes_pallas(streams, shape, cfg)
-    # per-lane serialized gathers degrade superlinearly past ~512 lanes on
-    # the target backend; process large batches in chunks
-    MAX_LANES = 512
-    if S > MAX_LANES and engine in ("decision", "lockstep", "rowbatch"):
-        parts = [
-            decode_lanes(streams[i : i + MAX_LANES], shape, cfg, engine)
-            for i in range(0, S, MAX_LANES)
-        ]
-        return np.concatenate(parts)
-    cap = _bucket_cap(max((len(s) for s in streams), default=0))
-    data = np.zeros((S, cap), dtype=np.uint8)
-    for s, blob in enumerate(streams):
-        data[s, : len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+    # per-lane serialized gathers scale with lane count while while_loop
+    # iterations don't, and a smaller chunk also shortens the max-over-lanes
+    # straggler tail, so modest chunks win (measured best ~256 lanes on the
+    # target backend); all chunks are dispatched before any is synced so the
+    # device queue stays full
+    import os
+    MAX_LANES = int(os.environ.get("LLCT_DECODE_MAX_LANES", "256"))
     fn = {
         "decision": _decode_scan,
         "lockstep": _decode_scan_lockstep,
         "rowbatch": _decode_scan_rowbatch,
     }[engine]
-    planes, err = fn(jnp.asarray(data), H, W, C, cfg)
-    if bool(np.asarray(err).any()):
-        bad = np.nonzero(np.asarray(err))[0].tolist()
-        raise ValueError(f"corrupt stream in lanes {bad}")
-    return np.asarray(transform.rct_inverse(planes))
+    inflight = []
+    for i in range(0, S, MAX_LANES):
+        chunk = streams[i : i + MAX_LANES]
+        cap = _bucket_cap(max((len(s) for s in chunk), default=0))
+        data = np.zeros((len(chunk), cap), dtype=np.uint8)
+        for s, blob in enumerate(chunk):
+            data[s, : len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+        planes, err = fn(jnp.asarray(data), H, W, C, cfg)
+        inflight.append((i, transform.rct_inverse(planes), err))
+    parts = []
+    for i, imgs, err in inflight:
+        if bool(np.asarray(err).any()):
+            bad = (np.nonzero(np.asarray(err))[0] + i).tolist()
+            raise ValueError(f"corrupt stream in lanes {bad}")
+        parts.append(np.asarray(imgs))
+    return np.concatenate(parts)
