@@ -31,8 +31,12 @@ from .core.config import REV2, CodecConfig
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Bring up jax.distributed; no-op if single-process or already up."""
-    if jax.process_count() > 1:
+    """Bring up jax.distributed; no-op if single-process or already up.
+
+    Must run before anything initializes the XLA backend (jax.devices etc.),
+    so the already-up check uses is_initialized(), not process_count().
+    """
+    if jax.distributed.is_initialized():
         return
     if coordinator_address is None and num_processes is None:
         return  # single-host run
@@ -70,8 +74,12 @@ def _allgather_streams(streams: list[bytes], n_total: int, my_offset: int):
     buf = np.zeros((n_total, cap), dtype=np.uint8)
     for i, s in enumerate(streams):
         buf[my_offset + i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-    # sum-allgather works because each row is owned by exactly one process
-    buf = np.asarray(multihost_utils.process_allgather(buf)).sum(axis=0)
+    # sum-allgather works because each row is owned by exactly one process;
+    # dtype pinned: np.sum would otherwise promote uint8 -> int64, making the
+    # later .tobytes() emit 8 bytes per element
+    buf = np.asarray(multihost_utils.process_allgather(buf)).sum(
+        axis=0, dtype=np.uint8
+    )
     return [buf[i, : lens[i]].tobytes() for i in range(n_total)]
 
 

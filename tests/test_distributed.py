@@ -1,5 +1,14 @@
-"""Distribution layer (single-process degenerate forms + span math)."""
+"""Distribution layer: span math, single-process forms, and a REAL
+2-process jax.distributed run (localhost coordinator, 4 virtual CPU devices
+per rank) that executes _allgather_streams' multi-process gather branch."""
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
 import numpy as np
+import pytest
 
 import llcomp_tpu
 from llcomp_tpu import distributed, profiling
@@ -34,6 +43,51 @@ def test_compress_corpus_distributed_single_process():
 def test_allgather_streams_single():
     s = [b"abc", b"", b"xy"]
     assert distributed._allgather_streams(s, 3, 0) == s
+
+
+def test_multiprocess_pod_gather(tmp_path):
+    """Spawn 2 real processes; both must assemble byte-identical containers.
+
+    Covers distributed.initialize (coordinator bring-up) and the
+    multi-process branch of _allgather_streams (padded ordered all-gather),
+    which single-process tests cannot reach.  The container must also equal
+    the single-process result and decode back to the image.
+    """
+    with socket.socket() as s:  # find a free localhost port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+    worker = Path(__file__).parent / "mp_worker.py"
+    outs = [tmp_path / f"rank{r}.llcomp" for r in range(2)]
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU contention from workers
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coordinator, "2", str(r), str(outs[r])],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for r in range(2)
+    ]
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            if p.returncode != 0:
+                tail = err.decode(errors="replace")[-2000:]
+                if "distributed" in tail and "initialize" in tail:
+                    pytest.skip(f"jax.distributed unavailable here: {tail[-200:]}")
+                pytest.fail(f"worker rc={p.returncode}: {tail}")
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    blob0, blob1 = outs[0].read_bytes(), outs[1].read_bytes()
+    assert blob0 == blob1 and len(blob0) > 0
+    img = make_photo(32, 16, seed=3)
+    assert blob0 == llcomp_tpu.compress(img, slices=4)
+    np.testing.assert_array_equal(llcomp_tpu.decompress(blob0), img)
 
 
 def test_phase_timer():

@@ -57,16 +57,32 @@ def test_jax_roundtrip_jax_only():
 
 
 def test_decode_corrupt_stream_flags_error():
+    """Corrupt bytes either raise, or decode to a valid self-consistent image.
+
+    Arithmetic coders accept most byte soups as *some* symbol sequence, so
+    random corruption rarely trips the e>31 / 24-decision guards on tiny
+    images (the raise path is pinned by test_decode_malicious_exponent_raises
+    below).  What must always hold: decode never hangs and never emits
+    garbage that is not itself a well-formed image — i.e. whatever it decodes
+    re-encodes and decodes back to the identical pixels.
+    """
     img = make_photo(8, 8)
-    blob = bytearray(oracle.encode(img)[6:])
-    rng = np.random.default_rng(0)
-    blob[2:] = bytes(rng.integers(0, 256, len(blob) - 2, dtype=np.uint8).tolist())
-    # most corruptions still "decode" (arithmetic coders accept any bytes);
-    # a symbol overrunning its 24-decision bound must raise, not loop/garble
-    try:
-        jdec.decode_lanes([bytes(blob)], (8, 8, 3))
-    except ValueError as e:
-        assert "corrupt" in str(e)
+    base = bytearray(oracle.encode(img)[6:])
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        blob = bytearray(base)
+        blob[2:] = bytes(
+            rng.integers(0, 256, len(blob) - 2, dtype=np.uint8).tolist()
+        )
+        try:
+            out = jdec.decode_lanes([bytes(blob)], (8, 8, 3))
+        except ValueError as e:
+            assert "corrupt" in str(e)
+            continue
+        assert out.shape == (1, 8, 8, 3) and out.dtype == np.uint8
+        restream = jenc.encode_lanes(out)
+        again = jdec.decode_lanes(restream, (8, 8, 3))
+        np.testing.assert_array_equal(again, out)
 
 
 def test_encode_vs_reference_binary(ref_oracle):
