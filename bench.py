@@ -153,19 +153,31 @@ def main() -> int:
         pass
 
     # -- correctness gate + decode --------------------------------------
+    # Methodology: the backend elides re-execution of identical inputs, so
+    # the compile/warm pass runs on `streams` and every TIMED pass decodes
+    # streams of a fresh batch it has never seen (VERDICT r1 item 3).
     if os.environ.get("BENCH_DECODE", "1") != "0":
-        dec_engine = "decision"
+        dec_engine = os.environ.get(
+            "BENCH_DECODE_ENGINE", "pallas" if on_tpu else "decision"
+        )
         try:
             t0 = time.time()
             out_lanes = jdec.decode_lanes(streams, (slice_h, W, 3),
                                           engine=dec_engine)
             dec_total = time.time() - t0
-            t0 = time.time()
-            out_lanes = jdec.decode_lanes(streams, (slice_h, W, 3),
-                                          engine=dec_engine)
-            dec_warm = time.time() - t0
             ok = np.array_equal(out_lanes, lanes)
+            dec_times = []
+            for r in range(reps):
+                fbd = fresh_batch(900 + r)
+                std = jenc.encode_lanes(fbd, engine=engine)
+                t0 = time.time()
+                outd = jdec.decode_lanes(std, (slice_h, W, 3),
+                                         engine=dec_engine)
+                dec_times.append(time.time() - t0)
+                ok = ok and np.array_equal(outd, fbd)
+            dec_warm = min(dec_times)
             result["decode_mps_e2e"] = round(mp_total / dec_warm, 3)
+            result["decode_engine"] = dec_engine
             result["decode_compile_s"] = round(dec_total - dec_warm, 1)
             result["roundtrip_exact"] = bool(ok)
             if not ok:

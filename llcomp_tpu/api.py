@@ -145,6 +145,33 @@ def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2) -> 
     return out
 
 
+def reencode_slice(data: bytes, index: int, stripe, cfg: CodecConfig = REV2) -> bytes:
+    """Replace one stripe of a sliced container in place (elastic re-encode).
+
+    ``stripe`` is the uint8 pixel block for that slice (shape checked against
+    the container geometry).  Because every slice is an independent stream
+    with its own index entry (``container`` layout), repairing a damaged or
+    stale stripe is a pure splice — no other payload byte moves.  This is the
+    fault-tolerance primitive SURVEY §5 calls for: a lost/corrupt shard is
+    healed by re-encoding only its rows.
+    """
+    streams, W, H, C, slice_h = container.unpack_sliced(data, cfg)
+    bounds = container.slice_bounds(H, slice_h)
+    if not 0 <= index < len(bounds):
+        raise IndexError(f"slice index {index} out of range [0, {len(bounds)})")
+    stripe = _as_image(stripe)
+    y0, y1 = bounds[index]
+    if stripe.shape != (y1 - y0, W, C):
+        raise ValueError(
+            f"stripe shape {stripe.shape} != expected {(y1 - y0, W, C)}"
+        )
+    from . import encode
+
+    streams = list(streams)
+    streams[index] = encode.encode_lanes(stripe[None], cfg)[0]
+    return container.pack_sliced(streams, W, H, C, slice_h, cfg)
+
+
 # Sliced-format aliases used by the package __init__.
 def compress_sliced(img, slices: int | str = "auto", cfg: CodecConfig = REV2) -> bytes:
     return compress(img, slices=slices, cfg=cfg)

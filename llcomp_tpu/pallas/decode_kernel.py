@@ -5,25 +5,38 @@ Decode is the hardest part of the codec to accelerate: the adaptive model is
 data-dependent address, and the byte stream is consumed at a data-dependent
 rate.  XLA formulations bottom out at ~0.3 MP/s on this backend because
 per-lane gathers/scatters serialize (docs/DESIGN.md).  This kernel keeps
-everything resident in VMEM for a group of 128 lanes and exploits the one
-fast dynamic-indexing primitive Mosaic offers (same-shape ``dynamic_gather``
-along sublanes or lanes) plus cheap scalar-core copies:
+everything resident in VMEM for a group of 128 lanes and uses only the
+dynamic-addressing primitives this Mosaic release actually compiles
+(probed on hardware, tools/probe_mosaic*.py):
+
+* per-lane *lane-dim* scalar loads/stores are illegal ("cannot statically
+  prove that index in dimension 1 is a multiple of 128") — but dynamic
+  *sublane* (dim-0) row loads, row stores and (8,128) window loads at a
+  traced scalar offset all compile and are fast;
+* scalars are bridged out of vector registers with one small VMEM->SMEM DMA
+  per symbol, after which SMEM reads feed the dynamic row offsets.
+
+Layout per 128-lane group:
 
 * **model**: [NS/4, 128] int32 (4 packed sub-states per word, one lane per
-  column).  A symbol's 8 sub-states = 2 words per lane, staged in/out with a
-  128-iteration scalar loop (2 loads + 2 stores each) — the only true
-  random access, paid once per symbol instead of once per decision;
+  column).  A symbol's 8 sub-states = 2 words per lane.  Stage-in is a
+  128-iteration loop of dynamic row loads blended by lane mask; stage-out is
+  a dynamic row read-modify-write — the only true random access, paid once
+  per symbol instead of once per decision;
 * **sub-state selection** inside a symbol: the staged block is (8, 128), so
   reading the active context's state is a sublane ``dynamic_gather`` and
   writing it back is a sublane-one-hot select — both pure vector ops;
-* **byte input**: per-lane absolute 32-byte windows ([8, 128] int32 words),
-  refilled by scalar copies when a lane's cursor nears the window end
-  (a symbol consumes at most 24 bytes); decision-time fetch is a sublane
-  gather + variable shift;
+* **byte input**: per-lane 32-byte windows ([8, 128] int32 words) re-staged
+  every symbol in the same per-lane loop (a symbol consumes at most 24
+  bytes, so a fresh aligned window always covers it); decision-time fetch is
+  a sublane gather + variable shift;
 * **reconstruction ring** (3 rows) lives in VMEM; all lanes decode the same
   stripe geometry in lockstep, so neighbor I/O uses shared scalar offsets;
+* **decisions**: the fixed 24-step inner loop is fully unrolled (Mosaic
+  fori_loop supports only unroll=1/full, and per-iteration loop overhead
+  dominates otherwise);
 * **output** is buffered 8 symbols at a time and flushed as aligned (8, 128)
-  tiles (measured: unaligned single-row VMEM stores cost ~1.5 us).
+  tiles.
 
 Bitstream semantics are the reference's exactly: decoder loop
 `llcomp.hpp:486-545`, getSymbol `llcomp.hpp:219-247`, range decoder
@@ -51,8 +64,15 @@ _ZF, _EXP, _MANT, _SIGN, _DONE = 0, 1, 2, 3, 4
 
 
 def _b(row: np.ndarray) -> np.ndarray:
-    """Broadcast a 128-entry table to the (1, 128) lookup-block shape."""
-    return np.asarray(row, dtype=np.int32).reshape(1, LANES)
+    """Broadcast a 128-entry table to the (8, 128) lookup-block shape.
+
+    Mosaic's ``dynamic_gather`` lowering only accepts full-vreg (8, 128)
+    operands (the encode kernels use the same layout); (1, 128) blocks fail
+    to lower ("Shape mismatch in input, indices and output").
+    """
+    return np.ascontiguousarray(
+        np.broadcast_to(np.asarray(row, dtype=np.int32), (8, LANES))
+    )
 
 
 _PROB = _b(tables.STATE_PROB)
@@ -65,8 +85,12 @@ _Q5_HI = _b(tables.QUANT5[128:])
 
 
 def _lut(table_block, idx):
-    """(1,128) 128-entry lookup via lane-axis dynamic_gather."""
-    return jnp.take_along_axis(table_block, idx, axis=1)
+    """(1,128) 128-entry lookup via lane-axis dynamic_gather.
+
+    ``table_block`` is (8,128); the (1,128) index is broadcast to the full
+    vreg shape and row 0 of the gather is the result."""
+    idx8 = jnp.broadcast_to(idx, (8, LANES))
+    return jnp.take_along_axis(table_block, idx8, axis=1)[0:1, :]
 
 
 def _quant(lo_tab, hi_tab, d):
@@ -82,22 +106,34 @@ def _sublane_gather(block, idx):
     return jnp.take_along_axis(block, idx_b, axis=0)[0:1, :]
 
 
-def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig):
+def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
+                 interpret: bool):
+    """``interpret=True`` swaps the three per-lane stage loops (model row
+    pair in/out + byte window) for single vectorized gathers/scatters with
+    identical semantics — the Mosaic-legal 128-iteration loops take minutes
+    under the Pallas interpreter.  The decision machine (the part where
+    semantic bugs live) is byte-identical between the two paths; the
+    hardware staging path is validated on the chip (tools/tpu_decode_check,
+    CLI selftest, bench)."""
     stride = W * C
     n_sym = H * W * C
+    nwords = cap // 4
 
-    def kernel(data_ref,                      # [1, cap/4, 128] i32 (packed bytes LE)
+    def kernel(data_ref,                      # [cap/4, 128] i32 (packed bytes LE)
                ptab, ns0tab, ns1tab, q11lo, q11hi, q5lo, q5hi,   # (1,128) tables
-               planes_ref,                    # [1, SYMCHUNK, 128] i32 out
-               err_ref,                       # [1, 8, 128] i32 out (sticky flags)
+               planes_ref,                    # [SYMCHUNK, 128] i32 out
+               err_ref,                       # [8, 128] i32 out (sticky flags)
                model_ref,                     # [NS4, 128] i32 scratch
                lines_ref,                     # [3*stride, 128] i32 scratch
-               wind_ref,                      # [8, 128] i32 scratch: byte window
-               iobuf_ref,                     # [8, 128] i32 scratch: staging
+               vscr_ref,                      # [2, 128] i32 scratch: DMA source
+               sscr_ref,                      # [2, 128] i32 SMEM: bridged scalars
                outbuf_ref,                    # [8, 128] i32 scratch: planes buffer
-               state_ref):                    # [8, 128] i32 scratch: coder state
+               state_ref,                     # [8, 128] i32 scratch: coder state
+               dma_sem):
         chunk = pl.program_id(1)
         sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
         ptab_v = ptab[:]
         ns0_v = ns0tab[:]
         ns1_v = ns1tab[:]
@@ -110,201 +146,235 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig):
         def _init():
             model_ref[:] = jnp.zeros((NS4, LANES), jnp.int32)
             lines_ref[:] = jnp.zeros((3 * stride, LANES), jnp.int32)
-            err_ref[0] = jnp.zeros((8, LANES), jnp.int32)
-            w0 = data_ref[0, 0:1, :]
+            err_ref[:] = jnp.zeros((8, LANES), jnp.int32)
+            w0 = data_ref[0:1, :]
             b0 = w0 & 0xFF
             b1 = (w0 >> 8) & 0xFF
-            # rows of state_ref: 0=low 1=range 2=dpos 3=wbase
+            # rows of state_ref: 0=low 1=range 2=dpos
             state_ref[0:1, :] = (b0 << 8) | b1
             state_ref[1:2, :] = jnp.full((1, LANES), 0xFF00, jnp.int32)
             state_ref[2:3, :] = jnp.full((1, LANES), 2, jnp.int32)
-            state_ref[3:4, :] = jnp.full((1, LANES), -64, jnp.int32)  # force refill
-            state_ref[4:8, :] = jnp.zeros((4, LANES), jnp.int32)
+            state_ref[3:8, :] = jnp.zeros((5, LANES), jnp.int32)
 
-        def sym_body(k, _):
+        def sym_body(k, carry):
+            low, rng, dpos = carry
             sym = chunk * SYMCHUNK + k
+            # tail symbols past n_sym still run (cheaper than masking the
+            # whole body): they read the zero tail / clamped windows and only
+            # touch the ring, the model and the error mask, all of which are
+            # dead after the last real symbol.  err is masked below.
+            active = sym < n_sym
+            i = sym % C
+            w = (sym // C) % W
+            h = sym // (W * C)
+            off = w * C + i
+            cur = (h % 3) * stride
+            up = ((h + 2) % 3) * stride
+            upup = ((h + 1) % 3) * stride
 
-            @pl.when(sym < n_sym)
+            # ---- neighbors (lane-uniform offsets) --------------------
+            def line(base, o):
+                return lines_ref[pl.ds(base + o, 1), :]
+
+            om1 = jnp.maximum(off - C, 0)
+            om2 = jnp.maximum(off - 2 * C, 0)
+            op1 = jnp.minimum(off + C, stride - 1)
+            l_n = line(cur, om1)
+            up_x = line(up, off)
+            l_ = jnp.where(w > 0, l_n, jnp.where(h > 0, up_x, 128))
+            t_ = jnp.where(h > 0, up_x, l_)
+            L_ = jnp.where(w > 1, line(cur, om2), l_)
+            tl = jnp.where((h > 0) & (w > 0), line(up, om1), t_)
+            tr = jnp.where((h > 0) & (w < W - 1), line(up, op1), t_)
+            T_ = jnp.where(h > 1, line(upup, off), t_)
+
+            hsh = (
+                _quant(q11lo_v, q11hi_v, l_ - tl)
+                + _quant(q11lo_v, q11hi_v, tl - t_) * 11
+                + _quant(q11lo_v, q11hi_v, t_ - tr) * 121
+                + _quant(q5lo_v, q5hi_v, L_ - l_) * 605
+                + _quant(q5lo_v, q5hi_v, T_ - t_) * 3025
+            )
+            predict = jnp.clip(
+                l_ + t_ - tl, jnp.minimum(l_, t_), jnp.maximum(l_, t_)
+            )
+            neg = hsh < 0
+            base2 = jnp.where(neg, -hsh, hsh) * 2  # packed word index
+
+            # ---- bridge per-lane scalars out via one small DMA -------
+            # row 0: model word index; row 1: byte-window word base,
+            # clamped so overrun/corrupt streams stage the zero tail.
+            w4 = jnp.clip(jax.lax.shift_right_logical(dpos, 2), 0, nwords - 8)
+            if interpret:
+                mdl = model_ref[:]
+                wa = jnp.take_along_axis(mdl, base2, axis=0)
+                wb = jnp.take_along_axis(mdl, base2 + 1, axis=0)
+                dat = data_ref[:]
+                wind = jnp.take_along_axis(
+                    dat, jnp.broadcast_to(w4, (8, LANES)) + sub8, axis=0
+                )
+            else:
+                vscr_ref[0:1, :] = base2
+                vscr_ref[1:2, :] = w4
+                cp = pltpu.make_async_copy(vscr_ref, sscr_ref, dma_sem)
+                cp.start()
+                cp.wait()
+
+                # ---- merged per-lane stage-in: model rows + window ---
+                zero1 = jnp.zeros((1, LANES), jnp.int32)
+
+                def stage_in(l, acc):
+                    wa, wb, wind = acc
+                    r = sscr_ref[0, l]
+                    b = sscr_ref[1, l]
+                    wa = jnp.where(lane1 == l, model_ref[pl.ds(r, 1), :], wa)
+                    wb = jnp.where(lane1 == l,
+                                   model_ref[pl.ds(r + 1, 1), :], wb)
+                    wind = jnp.where(lane8 == l, data_ref[pl.ds(b, 8), :],
+                                     wind)
+                    return wa, wb, wind
+
+                wa, wb, wind = jax.lax.fori_loop(
+                    0, LANES, stage_in,
+                    (zero1, zero1, jnp.zeros((8, LANES), jnp.int32)),
+                )
+            word8 = jnp.concatenate([wa] * 4 + [wb] * 4, axis=0)
+            rows = (word8 >> ((sub8 & 3) * 8)) & 0xFF        # (8,128) states
+            wbase = w4 * 4
+
+            # ---- decisions (fixed 24-step machine; fully unrolled on
+            # hardware, rolled into a fori_loop under the interpreter
+            # where XLA:CPU cannot compile the unrolled graph) ----------
+            one = jnp.ones((1, LANES), jnp.int32)
+            dstate = (
+                rows, low, rng, dpos,
+                jnp.full((1, LANES), _ZF, jnp.int32),   # phase
+                0 * one,                                 # value
+                0 * one,                                 # e
+                one,                                     # ectx
+                0 * one,                                 # mrem
+                jnp.full((1, LANES), cfg.e_lim + 1, jnp.int32),  # mctx
+                0 * one,                                 # errv
+            )
+
+            def decision(_d, dstate):
+                (rows, low, rng, dpos, phase, value, e, ectx, mrem, mctx,
+                 errv) = dstate
+                act = phase != _DONE
+                ctx = jnp.where(phase == _EXP,
+                                jnp.minimum(ectx, cfg.e_lim), 0)
+                ctx = jnp.where(phase == _MANT,
+                                jnp.minimum(mctx, cfg.r_lim), ctx)
+                ctx = jnp.where(phase == _SIGN, cfg.sign_ctx, ctx)
+
+                st8 = _sublane_gather(rows, ctx)
+                prob = _lut(ptab_v, st8)
+                range1 = (rng * prob) >> 8
+                rng0 = rng - range1
+                bit = (low >= rng0) & act
+                low = jnp.where(bit, low - rng0, low)
+                rng = jnp.where(act, jnp.where(bit, range1, rng0), rng)
+                refl = act & (rng < 0x100)
+                # byte fetch from the staged window
+                widx = dpos - wbase
+                word = _sublane_gather(
+                    wind,
+                    jnp.minimum(jax.lax.shift_right_logical(widx, 2), 7),
+                )
+                byte = (word >> ((widx & 3) * 8)) & 0xFF
+                byte = jnp.where(widx < 32, byte, 0)
+                low = jnp.where(refl, (low << 8) | byte, low)
+                rng = jnp.where(refl, rng << 8, rng)
+                dpos = jnp.where(refl, dpos + 1, dpos)
+
+                ns = jnp.where(bit, _lut(ns1_v, st8), _lut(ns0_v, st8))
+                upd = act & (jnp.broadcast_to(ctx, (8, LANES)) == sub8)
+                rows = jnp.where(upd, jnp.broadcast_to(ns, (8, LANES)), rows)
+
+                b = bit.astype(jnp.int32)
+                is_zf = (phase == _ZF) & act
+                is_exp = (phase == _EXP) & act
+                is_mant = (phase == _MANT) & act
+                is_sign = (phase == _SIGN) & act
+
+                value = jnp.where(is_zf, jnp.where(bit, 0, 1), value)
+                value = jnp.where(is_mant, 2 * value + b, value)
+                value = jnp.where(is_sign & bit, -value, value)
+                e2 = jnp.where(is_exp & bit, e + 1, e)
+                errv = errv | (is_exp & (e2 > 31)).astype(jnp.int32)
+                ectx = jnp.where(is_exp & bit, ectx + 1, ectx)
+                last_mant = is_mant & (mrem == 1)  # pre-decrement count
+                mrem = jnp.where(is_exp & ~bit, e2,
+                                 jnp.where(is_mant, mrem - 1, mrem))
+                mctx = jnp.where(is_mant, mctx + 1, mctx)
+                nphase = phase
+                nphase = jnp.where(is_zf, jnp.where(bit, _DONE, _EXP), nphase)
+                nphase = jnp.where(is_exp & ~bit,
+                                   jnp.where(e2 > 0, _MANT, _SIGN), nphase)
+                nphase = jnp.where(last_mant, _SIGN, nphase)
+                nphase = jnp.where(is_sign, _DONE, nphase)
+                return (rows, low, rng, dpos, nphase, value, e2, ectx,
+                        mrem, mctx, errv)
+
+            if interpret:
+                dstate = jax.lax.fori_loop(
+                    0, cfg.max_bins_per_symbol, decision, dstate
+                )
+            else:
+                for _d in range(cfg.max_bins_per_symbol):
+                    dstate = decision(_d, dstate)
+            (rows, low, rng, dpos, phase, value, _e, _ectx, _mrem, _mctx,
+             errv) = dstate
+
+            # a valid symbol always terminates within 24 decisions
+            # (SURVEY §2.4); an unterminated one marks stream corruption
+            errv = errv | (phase != _DONE).astype(jnp.int32)
+
+            @pl.when(active)
             def _():
-                i = sym % C
-                w = (sym // C) % W
-                h = sym // (W * C)
-                off = w * C + i
-                cur = (h % 3) * stride
-                up = ((h + 2) % 3) * stride
-                upup = ((h + 1) % 3) * stride
+                err_ref[0:1, :] = err_ref[0:1, :] | errv
 
-                # ---- byte-window refill (scalar, per lane, conditional) --
-                # window covers bytes [wbase, wbase+32); a symbol consumes
-                # at most 24 bytes, so refill when dpos > wbase + 8.
-                def refill(l, _):
-                    dpos = state_ref[2, l]
-                    wbase = state_ref[3, l]
+            # ---- stage-out the updated row (dynamic-row RMW) ---------
+            w0 = (rows[0:1, :] | (rows[1:2, :] << 8)
+                  | (rows[2:3, :] << 16) | (rows[3:4, :] << 24))
+            w1 = (rows[4:5, :] | (rows[5:6, :] << 8)
+                  | (rows[6:7, :] << 16) | (rows[7:8, :] << 24))
 
-                    @pl.when(dpos - wbase > 8)
-                    def _():
-                        # clamp so corrupt/overrun streams read the zero tail
-                        nb = jnp.minimum((dpos // 4) * 4, cap - 32)
-                        state_ref[3, l] = nb
-                        w4 = nb // 4
-                        for j in range(8):
-                            wind_ref[j, l] = data_ref[0, w4 + j, l]
-                    return 0
-
-                jax.lax.fori_loop(0, LANES, refill, 0)
-
-                # ---- neighbors (lane-uniform offsets) --------------------
-                def line(base, o):
-                    return lines_ref[pl.ds(base + o, 1), :]
-
-                om1 = jnp.maximum(off - C, 0)
-                om2 = jnp.maximum(off - 2 * C, 0)
-                op1 = jnp.minimum(off + C, stride - 1)
-                l_n = line(cur, om1)
-                up_x = line(up, off)
-                l_ = jnp.where(w > 0, l_n, jnp.where(h > 0, up_x, 128))
-                t_ = jnp.where(h > 0, up_x, l_)
-                L_ = jnp.where(w > 1, line(cur, om2), l_)
-                tl = jnp.where((h > 0) & (w > 0), line(up, om1), t_)
-                tr = jnp.where((h > 0) & (w < W - 1), line(up, op1), t_)
-                T_ = jnp.where(h > 1, line(upup, off), t_)
-
-                hsh = (
-                    _quant(q11lo_v, q11hi_v, l_ - tl)
-                    + _quant(q11lo_v, q11hi_v, tl - t_) * 11
-                    + _quant(q11lo_v, q11hi_v, t_ - tr) * 121
-                    + _quant(q5lo_v, q5hi_v, L_ - l_) * 605
-                    + _quant(q5lo_v, q5hi_v, T_ - t_) * 3025
-                )
-                predict = jnp.clip(
-                    l_ + t_ - tl, jnp.minimum(l_, t_), jnp.maximum(l_, t_)
-                )
-                neg = hsh < 0
-                base2 = jnp.where(neg, -hsh, hsh) * 2  # packed word index
-
-                # ---- stage-in the hash row (2 words per lane, scalar) ----
-                iobuf_ref[0:1, :] = base2
-
-                def stage_in(l, _):
-                    r = iobuf_ref[0, l]
-                    iobuf_ref[2, l] = model_ref[r, l]
-                    iobuf_ref[3, l] = model_ref[r + 1, l]
-                    return 0
-
-                jax.lax.fori_loop(0, LANES, stage_in, 0)
-
-                word8 = jnp.concatenate(
-                    [iobuf_ref[2:3, :]] * 4 + [iobuf_ref[3:4, :]] * 4, axis=0
-                )
-                rows = (word8 >> ((sub8 & 3) * 8)) & 0xFF        # (8,128) states
-
-                # ---- decisions ------------------------------------------
-                low = state_ref[0:1, :]
-                rng = state_ref[1:2, :]
-                dpos = state_ref[2:3, :]
-                wbase = state_ref[3:4, :]
-
-                def dec_body(d, st):
-                    rows, low, rng, dpos, phase, value, e, ectx, mrem, mctx, errv = st
-                    active = phase != _DONE
-                    ctx = jnp.where(phase == _EXP,
-                                    jnp.minimum(ectx, cfg.e_lim), 0)
-                    ctx = jnp.where(phase == _MANT,
-                                    jnp.minimum(mctx, cfg.r_lim), ctx)
-                    ctx = jnp.where(phase == _SIGN, cfg.sign_ctx, ctx)
-
-                    st8 = _sublane_gather(rows, ctx)
-                    prob = _lut(ptab_v, st8)
-                    range1 = (rng * prob) >> 8
-                    rng0 = rng - range1
-                    bit = (low >= rng0) & active
-                    low2 = jnp.where(bit, low - rng0, low)
-                    rng2 = jnp.where(active, jnp.where(bit, range1, rng0), rng)
-                    refl = active & (rng2 < 0x100)
-                    # byte fetch from window
-                    widx = dpos - wbase
-                    word = _sublane_gather(wind_ref[:], widx >> 2)
-                    byte = (word >> ((widx & 3) * 8)) & 0xFF
-                    byte = jnp.where(widx < 32, byte, 0)
-                    low3 = jnp.where(refl, (low2 << 8) | byte, low2)
-                    rng3 = jnp.where(refl, rng2 << 8, rng2)
-                    dpos2 = jnp.where(refl, dpos + 1, dpos)
-
-                    ns = jnp.where(bit, _lut(ns1_v, st8), _lut(ns0_v, st8))
-                    upd = active & (jnp.broadcast_to(ctx, (8, LANES)) == sub8)
-                    rows = jnp.where(upd, jnp.broadcast_to(ns, (8, LANES)), rows)
-
-                    b = bit.astype(jnp.int32)
-                    is_zf = (phase == _ZF) & active
-                    is_exp = (phase == _EXP) & active
-                    is_mant = (phase == _MANT) & active
-                    is_sign = (phase == _SIGN) & active
-
-                    value = jnp.where(is_zf, jnp.where(bit, 0, 1), value)
-                    value = jnp.where(is_mant, 2 * value + b, value)
-                    value = jnp.where(is_sign & bit, -value, value)
-                    e2 = jnp.where(is_exp & bit, e + 1, e)
-                    errv = errv | (is_exp & (e2 > 31)).astype(jnp.int32)
-                    ectx2 = jnp.where(is_exp & bit, ectx + 1, ectx)
-                    mrem2 = jnp.where(is_exp & ~bit, e2,
-                                      jnp.where(is_mant, mrem - 1, mrem))
-                    mctx2 = jnp.where(is_mant, mctx + 1, mctx)
-                    phase2 = phase
-                    phase2 = jnp.where(is_zf, jnp.where(bit, _DONE, _EXP), phase2)
-                    phase2 = jnp.where(is_exp & ~bit,
-                                       jnp.where(e2 > 0, _MANT, _SIGN), phase2)
-                    phase2 = jnp.where(is_mant & (mrem == 1), _SIGN, phase2)
-                    phase2 = jnp.where(is_sign, _DONE, phase2)
-                    return (rows, low3, rng3, dpos2, phase2, value, e2,
-                            ectx2, mrem2, mctx2, errv)
-
-                one = jnp.ones((1, LANES), jnp.int32)
-                init = (rows, low, rng, dpos,
-                        jnp.full((1, LANES), _ZF, jnp.int32),
-                        0 * one, 0 * one, one, 0 * one,
-                        jnp.full((1, LANES), cfg.e_lim + 1, jnp.int32),
-                        0 * one)
-                (rows, low, rng, dpos, phase, value, *_r, errv) = (
-                    jax.lax.fori_loop(0, cfg.max_bins_per_symbol, dec_body, init)
-                )
-                # a valid symbol always terminates within 24 decisions
-                # (SURVEY §2.4); an unterminated one marks stream corruption
-                errv = errv | (phase != _DONE).astype(jnp.int32)
-                err_ref[0, 0:1, :] = err_ref[0, 0:1, :] | errv
-
-                state_ref[0:1, :] = low
-                state_ref[1:2, :] = rng
-                state_ref[2:3, :] = dpos
-
-                # ---- stage-out the updated row --------------------------
-                w0 = (rows[0:1, :] | (rows[1:2, :] << 8)
-                      | (rows[2:3, :] << 16) | (rows[3:4, :] << 24))
-                w1 = (rows[4:5, :] | (rows[5:6, :] << 8)
-                      | (rows[6:7, :] << 16) | (rows[7:8, :] << 24))
-                iobuf_ref[4:5, :] = w0
-                iobuf_ref[5:6, :] = w1
-
+            if interpret:
+                mdl = model_ref[:]
+                lidx = jnp.arange(LANES)
+                mdl = mdl.at[base2[0, :], lidx].set(w0[0, :])
+                mdl = mdl.at[base2[0, :] + 1, lidx].set(w1[0, :])
+                model_ref[:] = mdl
+            else:
                 def stage_out(l, _):
-                    r = iobuf_ref[0, l]
-                    model_ref[r, l] = iobuf_ref[4, l]
-                    model_ref[r + 1, l] = iobuf_ref[5, l]
+                    r = sscr_ref[0, l]
+                    ra = model_ref[pl.ds(r, 1), :]
+                    model_ref[pl.ds(r, 1), :] = jnp.where(lane1 == l, w0, ra)
+                    rb = model_ref[pl.ds(r + 1, 1), :]
+                    model_ref[pl.ds(r + 1, 1), :] = jnp.where(
+                        lane1 == l, w1, rb)
                     return 0
 
                 jax.lax.fori_loop(0, LANES, stage_out, 0)
 
-                # ---- reconstruction: ring + buffered planes output ------
-                diff = jnp.where(neg, -value, value)
-                recon = predict + diff
-                lines_ref[pl.ds(cur + off, 1), :] = recon
-                outbuf_ref[pl.ds(k % 8, 1), :] = recon
+            # ---- reconstruction: ring + buffered planes output ------
+            diff = jnp.where(neg, -value, value)
+            recon = predict + diff
+            lines_ref[pl.ds(cur + off, 1), :] = recon
+            outbuf_ref[pl.ds(k % 8, 1), :] = recon
 
-            @pl.when((k % 8 == 7) | (k == SYMCHUNK - 1))
+            @pl.when(k % 8 == 7)
             def _flush():
-                planes_ref[0, pl.ds((k // 8) * 8, 8), :] = outbuf_ref[:]
+                planes_ref[pl.ds((k // 8) * 8, 8), :] = outbuf_ref[:]
 
-            return 0
+            return low, rng, dpos
 
-        jax.lax.fori_loop(0, SYMCHUNK, sym_body, 0)
+        init = (state_ref[0:1, :], state_ref[1:2, :], state_ref[2:3, :])
+        low, rng, dpos = jax.lax.fori_loop(0, SYMCHUNK, sym_body, init)
+        state_ref[0:1, :] = low
+        state_ref[1:2, :] = rng
+        state_ref[2:3, :] = dpos
 
     return kernel
 
@@ -325,7 +395,7 @@ def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
     n_chunks = -(-n_sym // SYMCHUNK)
     n_sym_pad = n_chunks * SYMCHUNK
 
-    # pack bytes little-endian into words for scalar i32 staging
+    # pack bytes little-endian into words for dynamic-row window staging
     d32 = (
         data[:, 0::4].astype(jnp.int32)
         | (data[:, 1::4].astype(jnp.int32) << 8)
@@ -334,22 +404,23 @@ def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
     )
 
     stride = W * C
-    kernel = _make_kernel(H, W, C, cap, cfg)
+    interpret = _use_interpret()
+    kernel = _make_kernel(H, W, C, cap, cfg, interpret)
     tabs = [_PROB, _NS0, _NS1, _Q11_LO, _Q11_HI, _Q5_LO, _Q5_HI]
     planes, err = pl.pallas_call(
         kernel,
         grid=(G, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, cap // 4, LANES), lambda g, c: (g, 0, 0),
+            pl.BlockSpec((None, cap // 4, LANES), lambda g, c: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1, LANES), lambda g, c: (0, 0),
+            pl.BlockSpec((8, LANES), lambda g, c: (0, 0),
                          memory_space=pltpu.VMEM)
         ] * 7,
         out_specs=(
-            pl.BlockSpec((1, SYMCHUNK, LANES), lambda g, c: (g, c, 0),
+            pl.BlockSpec((None, SYMCHUNK, LANES), lambda g, c: (g, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, LANES), lambda g, c: (g, 0, 0),
+            pl.BlockSpec((None, 8, LANES), lambda g, c: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -359,11 +430,12 @@ def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
         scratch_shapes=[
             pltpu.VMEM((NS4, LANES), jnp.int32),
             pltpu.VMEM((3 * stride, LANES), jnp.int32),
+            pltpu.VMEM((2, LANES), jnp.int32),
+            pltpu.SMEM((2, LANES), jnp.int32),
             pltpu.VMEM((8, LANES), jnp.int32),
             pltpu.VMEM((8, LANES), jnp.int32),
-            pltpu.VMEM((8, LANES), jnp.int32),
-            pltpu.VMEM((8, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
         ],
-        interpret=_use_interpret(),
+        interpret=interpret,
     )(jnp.asarray(d32), *[jnp.asarray(t) for t in tabs])
     return planes, err

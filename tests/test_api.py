@@ -93,3 +93,29 @@ def test_oversized_stripe_falls_back_to_xla():
     img = make_photo(3, 5000, c=3)  # n_sym*24 = 1.08M > 2^20
     out = jenc.encode_lanes(img[None], engine="pallas")
     assert out[0] == oracle.encode(img)[6:]
+
+
+def test_reencode_slice_heals_corrupt_stripe():
+    """Fault-tolerance primitive: re-encoding one stripe restores the exact
+    original container (slice independence, SURVEY §5)."""
+    img = make_photo(32, 16)
+    blob = llcomp_tpu.compress(img, slices=4)
+    streams, W, H, C, slice_h = container.unpack_sliced(blob)
+    # corrupt slice 2's payload in place
+    bad = list(streams)
+    bad[2] = bytes([b ^ 0xFF for b in bad[2]])
+    broken = container.pack_sliced(bad, W, H, C, slice_h)
+    assert broken != blob
+    y0, y1 = container.slice_bounds(H, slice_h)[2]
+    healed = api.reencode_slice(broken, 2, img[y0:y1])
+    assert healed == blob
+    np.testing.assert_array_equal(llcomp_tpu.decompress(healed), img)
+
+
+def test_reencode_slice_validates_args():
+    img = make_photo(32, 16)
+    blob = llcomp_tpu.compress(img, slices=4)
+    with pytest.raises(IndexError):
+        api.reencode_slice(blob, 9, img[:8])
+    with pytest.raises(ValueError):
+        api.reencode_slice(blob, 0, img[:4])

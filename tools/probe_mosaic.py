@@ -239,7 +239,7 @@ def p7_symbol_step_cost(T=512):
 
         def sym(s, carry):
             # pseudo-random per-lane rows, written to scratch for scalar reads
-            scr[0:1, :] = (idx_ref[0:1, :] * (s + 1) + s * 2654435761) % (ROWS - 1)
+            scr[0:1, :] = (idx_ref[0:1, :] * (s + 1) + s * 40503) % (ROWS - 1)
             zero = jnp.zeros((1, LANES), jnp.int32)
 
             def stage_in(l, acc):
@@ -311,7 +311,7 @@ def p8_stage_only_cost(T=512):
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
         def sym(s, carry):
-            scr[0:1, :] = (idx_ref[0:1, :] * (s + 1) + s * 2654435761) % (ROWS - 1)
+            scr[0:1, :] = (idx_ref[0:1, :] * (s + 1) + s * 40503) % (ROWS - 1)
             zero = jnp.zeros((1, LANES), jnp.int32)
 
             def stage_in(l, acc):
@@ -384,6 +384,73 @@ def p9_decision_only_cost(T=512):
     return fn, lambda r: (_idx(r),)
 
 
+# P10: timing — decision loop fully UNROLLED (is p9's 2.4us/step loop overhead?)
+def p10_decision_unrolled(T=512):
+    def kernel(idx_ref, out_ref):
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+
+        def sym(s, carry):
+            rows, acc = carry
+            for d in range(24):  # python loop = full unroll
+                ctx = (acc + d) & 7
+                pick = jnp.take_along_axis(
+                    rows, jnp.broadcast_to(ctx, (8, LANES)), axis=0)[0:1, :]
+                acc = (acc * 5 + pick + 1) & 0x7FFF
+                upd = jnp.broadcast_to(ctx, (8, LANES)) == sub8
+                rows = jnp.where(upd, (rows + 1) & 0xFF, rows)
+            return rows, acc
+
+        rows0 = jnp.broadcast_to(idx_ref[0:1, :] & 0xFF, (8, LANES))
+        _, acc = jax.lax.fori_loop(
+            0, T, sym, (rows0, jnp.zeros((1, LANES), jnp.int32)))
+        out_ref[0:1, :] = acc
+
+    def fn(idx):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(idx)
+
+    return fn, lambda r: (_idx(r),)
+
+
+# P11: single-lane variants — how does cost scale with the lane count staged?
+def p11_stage_few(T=512, NSTAGE=8):
+    def kernel(idx_ref, out_ref, modelA, scr):
+        modelA[0:8, :] = jnp.zeros((8, LANES), jnp.int32)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        def sym(s, carry):
+            scr[0:1, :] = (idx_ref[0:1, :] * (s + 1) + s * 40503) % (ROWS - 1)
+            zero = jnp.zeros((1, LANES), jnp.int32)
+
+            def stage_in(l, acc):
+                r = scr[0, l]
+                return jnp.where(lane1 == l, modelA[pl.ds(r, 1), :], acc)
+
+            wa = jax.lax.fori_loop(0, NSTAGE, stage_in, zero)
+            return (carry + wa) & 0x7FFF
+
+        out_ref[0:1, :] = jax.lax.fori_loop(
+            0, T, sym, jnp.zeros((1, LANES), jnp.int32))
+
+    def fn(idx):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, LANES), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((ROWS, LANES), jnp.int32),
+                pltpu.VMEM((8, LANES), jnp.int32),
+            ],
+        )(idx)
+
+    return fn, lambda r: (_idx(r),)
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
     which = sys.argv[1:] or ["p0", "p1", "p2", "p3", "p4", "p5", "p6",
@@ -399,6 +466,8 @@ if __name__ == "__main__":
         "p7": ("512 full symbol-steps", p7_symbol_step_cost, 3),
         "p8": ("512 stage-only steps", p8_stage_only_cost, 3),
         "p9": ("512 decision-only steps", p9_decision_only_cost, 3),
+        "p10": ("512 sym, 24 dec UNROLLED", p10_decision_unrolled, 3),
+        "p11": ("512 sym, stage 8 lanes", p11_stage_few, 3),
     }
     for key in which:
         name, builder, reps = probes[key]
