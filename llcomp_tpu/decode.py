@@ -602,7 +602,6 @@ def _decode_lanes_pallas(
 
     H, W, C = shape
     S = len(streams)
-    n_sym = H * W * C
     G = -(-S // dk.LANES)
     cap = _bucket_cap(max((len(s) for s in streams), default=0))
     data = np.zeros((G, cap, dk.LANES), dtype=np.uint8)
@@ -610,18 +609,22 @@ def _decode_lanes_pallas(
         data[s // dk.LANES, : len(blob), s % dk.LANES] = np.frombuffer(
             blob, dtype=np.uint8
         )
-    planes, err = dk.decode_groups(jnp.asarray(data), H, W, C, cfg)
-    lane_err = np.asarray(err)[:, 0, :].reshape(G * dk.LANES)[:S]
+    # one pallas call per 128-lane group, all dispatched before any sync:
+    # group g+1's kernel runs while group g's u8 images stream back
+    inflight = [
+        dk.decode_groups_images(jnp.asarray(data[g : g + 1]), H, W, C, cfg)
+        for g in range(G)
+    ]
+    parts, lane_err = [], []
+    for imgs, err in inflight:
+        parts.append(np.asarray(imgs))
+        lane_err.append(np.asarray(err))
+    lane_err = np.concatenate(lane_err)[:S]
     if lane_err.any():
         raise ValueError(
             f"corrupt stream in lanes {np.nonzero(lane_err)[0].tolist()}"
         )
-    out = (
-        np.asarray(planes)[:, :n_sym, :]
-        .transpose(0, 2, 1)
-        .reshape(G * dk.LANES, H, W, C)[:S]
-    )
-    return np.asarray(transform.rct_inverse(jnp.asarray(out)))
+    return np.concatenate(parts)[:S]
 
 
 def decode_lanes(

@@ -75,9 +75,13 @@ def _b(row: np.ndarray) -> np.ndarray:
     )
 
 
-_PROB = _b(tables.STATE_PROB)
-_NS0 = _b(tables.NEXT_STATE[0::2])
-_NS1 = _b(tables.NEXT_STATE[1::2])
+# fused decision table: state byte -> prob | next0<<8 | next1<<16, so the
+# inner loop does ONE lane-gather per decision instead of three
+_FUSED = _b(
+    tables.STATE_PROB.astype(np.int32)
+    | (tables.NEXT_STATE[0::2].astype(np.int32) << 8)
+    | (tables.NEXT_STATE[1::2].astype(np.int32) << 16)
+)
 _Q11_LO = _b(tables.QUANT11[:128])
 _Q11_HI = _b(tables.QUANT11[128:])
 _Q5_LO = _b(tables.QUANT5[:128])
@@ -120,7 +124,7 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
     nwords = cap // 4
 
     def kernel(data_ref,                      # [cap/4, 128] i32 (packed bytes LE)
-               ptab, ns0tab, ns1tab, q11lo, q11hi, q5lo, q5hi,   # (1,128) tables
+               ftab, q11lo, q11hi, q5lo, q5hi,   # (8,128) tables
                planes_ref,                    # [SYMCHUNK, 128] i32 out
                err_ref,                       # [8, 128] i32 out (sticky flags)
                model_ref,                     # [NS4, 128] i32 scratch
@@ -134,9 +138,7 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
         sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-        ptab_v = ptab[:]
-        ns0_v = ns0tab[:]
-        ns1_v = ns1tab[:]
+        ftab_v = ftab[:]
         q11lo_v = q11lo[:]
         q11hi_v = q11hi[:]
         q5lo_v = q5lo[:]
@@ -238,8 +240,6 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
                     0, LANES, stage_in,
                     (zero1, zero1, jnp.zeros((8, LANES), jnp.int32)),
                 )
-            word8 = jnp.concatenate([wa] * 4 + [wb] * 4, axis=0)
-            rows = (word8 >> ((sub8 & 3) * 8)) & 0xFF        # (8,128) states
             wbase = w4 * 4
 
             # ---- decisions (fixed 24-step machine; fully unrolled on
@@ -247,7 +247,7 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
             # where XLA:CPU cannot compile the unrolled graph) ----------
             one = jnp.ones((1, LANES), jnp.int32)
             dstate = (
-                rows, low, rng, dpos,
+                wa, wb, low, rng, dpos,
                 jnp.full((1, LANES), _ZF, jnp.int32),   # phase
                 0 * one,                                 # value
                 0 * one,                                 # e
@@ -258,7 +258,7 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
             )
 
             def decision(_d, dstate):
-                (rows, low, rng, dpos, phase, value, e, ectx, mrem, mctx,
+                (wa, wb, low, rng, dpos, phase, value, e, ectx, mrem, mctx,
                  errv) = dstate
                 act = phase != _DONE
                 ctx = jnp.where(phase == _EXP,
@@ -267,8 +267,12 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
                                 jnp.minimum(mctx, cfg.r_lim), ctx)
                 ctx = jnp.where(phase == _SIGN, cfg.sign_ctx, ctx)
 
-                st8 = _sublane_gather(rows, ctx)
-                prob = _lut(ptab_v, st8)
+                # sub-state byte-select from the two packed words: no gather
+                sh = (ctx & 3) * 8
+                mword = jnp.where(ctx < 4, wa, wb)
+                st8 = jax.lax.shift_right_logical(mword, sh) & 0xFF
+                f = _lut(ftab_v, st8)
+                prob = f & 0xFF
                 range1 = (rng * prob) >> 8
                 rng0 = rng - range1
                 bit = (low >= rng0) & act
@@ -287,9 +291,12 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
                 rng = jnp.where(refl, rng << 8, rng)
                 dpos = jnp.where(refl, dpos + 1, dpos)
 
-                ns = jnp.where(bit, _lut(ns1_v, st8), _lut(ns0_v, st8))
-                upd = act & (jnp.broadcast_to(ctx, (8, LANES)) == sub8)
-                rows = jnp.where(upd, jnp.broadcast_to(ns, (8, LANES)), rows)
+                ns = jax.lax.shift_right_logical(
+                    f, jnp.where(bit, 16, 8)) & 0xFF
+                # byte-insert the next state back into the packed word
+                neww = (mword & ~(0xFF << sh)) | (ns << sh)
+                wa = jnp.where(act & (ctx < 4), neww, wa)
+                wb = jnp.where(act & (ctx >= 4), neww, wb)
 
                 b = bit.astype(jnp.int32)
                 is_zf = (phase == _ZF) & act
@@ -313,7 +320,7 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
                                    jnp.where(e2 > 0, _MANT, _SIGN), nphase)
                 nphase = jnp.where(last_mant, _SIGN, nphase)
                 nphase = jnp.where(is_sign, _DONE, nphase)
-                return (rows, low, rng, dpos, nphase, value, e2, ectx,
+                return (wa, wb, low, rng, dpos, nphase, value, e2, ectx,
                         mrem, mctx, errv)
 
             if interpret:
@@ -323,7 +330,7 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
             else:
                 for _d in range(cfg.max_bins_per_symbol):
                     dstate = decision(_d, dstate)
-            (rows, low, rng, dpos, phase, value, _e, _ectx, _mrem, _mctx,
+            (wa, wb, low, rng, dpos, phase, value, _e, _ectx, _mrem, _mctx,
              errv) = dstate
 
             # a valid symbol always terminates within 24 decisions
@@ -334,11 +341,8 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
             def _():
                 err_ref[0:1, :] = err_ref[0:1, :] | errv
 
-            # ---- stage-out the updated row (dynamic-row RMW) ---------
-            w0 = (rows[0:1, :] | (rows[1:2, :] << 8)
-                  | (rows[2:3, :] << 16) | (rows[3:4, :] << 24))
-            w1 = (rows[4:5, :] | (rows[5:6, :] << 8)
-                  | (rows[6:7, :] << 16) | (rows[7:8, :] << 24))
+            # ---- stage-out the updated word pair (dynamic-row RMW) ----
+            w0, w1 = wa, wb
 
             if interpret:
                 mdl = model_ref[:]
@@ -386,6 +390,28 @@ def _use_interpret() -> bool:
 @functools.partial(
     jax.jit, static_argnames=("H", "W", "C", "cfg")
 )
+def decode_groups_images(data: jnp.ndarray, H: int, W: int, C: int,
+                         cfg: CodecConfig = REV2):
+    """Like decode_groups, but finishes on-device: un-permutes the planes,
+    applies the inverse RCT and returns uint8 images [G*128, H, W, C] plus
+    the per-lane error flags.  4x less device->host traffic than fetching
+    the raw i32 planes (the tunnel link is the e2e decode bottleneck)."""
+    from ..core import transform
+
+    planes, err = decode_groups(data, H, W, C, cfg)
+    G = data.shape[0]
+    n_sym = H * W * C
+    imgs = (
+        planes[:, :n_sym, :]
+        .transpose(0, 2, 1)
+        .reshape(G * LANES, H, W, C)
+    )
+    return transform.rct_inverse(imgs), err[:, 0, :].reshape(G * LANES)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "C", "cfg")
+)
 def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
                   cfg: CodecConfig = REV2):
     """data [G, cap, 128] u8 (zero-padded, cap % 64 == 0) ->
@@ -406,7 +432,7 @@ def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
     stride = W * C
     interpret = _use_interpret()
     kernel = _make_kernel(H, W, C, cap, cfg, interpret)
-    tabs = [_PROB, _NS0, _NS1, _Q11_LO, _Q11_HI, _Q5_LO, _Q5_HI]
+    tabs = [_FUSED, _Q11_LO, _Q11_HI, _Q5_LO, _Q5_HI]
     planes, err = pl.pallas_call(
         kernel,
         grid=(G, n_chunks),
@@ -416,7 +442,7 @@ def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
         ] + [
             pl.BlockSpec((8, LANES), lambda g, c: (0, 0),
                          memory_space=pltpu.VMEM)
-        ] * 7,
+        ] * 5,
         out_specs=(
             pl.BlockSpec((None, SYMCHUNK, LANES), lambda g, c: (g, c, 0),
                          memory_space=pltpu.VMEM),
