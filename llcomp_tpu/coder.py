@@ -126,9 +126,87 @@ def finish_steps_grouped(fin: jnp.ndarray):
     return fm, fr
 
 
+def finish_steps_grouped_off(fin: jnp.ndarray):
+    """Final carries [G, 5, 1, 8, 128] (incl. byte offset) -> the two flush
+    shifts' offset-packed records [G, 2, 8, 128] plus per-lane stream lengths
+    [G, 1, 8, 128].  Twin of ``finish_steps_grouped`` for the offset-packed
+    coder kernel (`llcomp.hpp:75-81`: two forced shifts, pending byte
+    dropped)."""
+    low, rng, pend, run, off = (fin[:, i] for i in range(5))
+    t = jnp.ones_like(low, dtype=bool)
+    low = low + 0xFF
+    kps = []
+    for _ in range(2):
+        (low, rng, pend, run), (emit, cry, head, out_run) = shift_step(
+            low, jnp.full_like(rng, 0xFF), pend, run, t
+        )
+        kps.append(jnp.where(
+            emit,
+            (off << 9) | (cry.astype(jnp.int32) << 8) | head,
+            jnp.int32(0x7FFFFFFF),
+        ))
+        off = jnp.where(emit, off + 1 + out_run, off)
+    return jnp.concatenate(kps, axis=1), off
+
+
 # --------------------------------------------------------------------------
 # Device-side slot expansion (sorts + associative scan; no scatters)
 # --------------------------------------------------------------------------
+
+
+def expand_kp_grouped(kp: jnp.ndarray, kp_fin: jnp.ndarray, outcap: int):
+    """Offset-packed byte records -> byte buffers, one fused sandwich sort.
+
+    kp [G, T, 8, 128] i32 = off<<9 | carry<<8 | head for emitting slots,
+    INT32_MAX otherwise (offsets strictly increase per lane); kp_fin
+    [G, 2, 8, 128] the finish-flush records.  Because the coder kernel
+    already packed each record's output byte offset, compaction, position
+    probing and merge collapse into ONE single-operand sort:
+
+      key = (off*2)<<9 | carry<<8 | head   for an emitting slot
+            (p*2+1)<<9                      for the probe at byte position p
+
+    Live entries (emits <= outcap plus exactly outcap probes) sort to the
+    front, so the forward-fill + probe-extract run on a 2*outcap prefix.
+    Returns bytes [G, outcap, 8, 128] u8 (lengths come from the final
+    carries, ``finish_steps_grouped_off``).
+    """
+    G = kp.shape[0]
+    BIG = jnp.int32(0x7FFFFFFF)
+
+    live = kp != BIG
+    k_slots = jnp.where(live, ((kp >> 9) << 10) | (kp & 0x1FF), BIG)
+    kf_live = kp_fin != BIG
+    k_fin = jnp.where(kf_live, ((kp_fin >> 9) << 10) | (kp_fin & 0x1FF), BIG)
+    probe = (
+        jax.lax.broadcasted_iota(
+            jnp.int32, (G, outcap, kp.shape[2], kp.shape[3]), 1
+        ) * 2 + 1
+    ) << 9
+    keys = jnp.concatenate([k_slots, k_fin, probe], axis=1)
+    (sk,) = jax.lax.sort((keys,), dimension=1, num_keys=1)
+    sk = sk[:, : 2 * outcap]
+
+    is_probe = ((sk >> 9) & 1) == 1
+    # slot fill value: (off+1)<<9 | carry<<8 | head, 0 for probes/dead
+    sv = jnp.where(
+        is_probe | (sk == BIG), 0, (((sk >> 10) + 1) << 9) | (sk & 0x1FF)
+    )
+    n = sv.shape[1]
+    d = 1
+    while d < n:
+        prev = jnp.pad(sv, ((0, 0), (d, 0), (0, 0), (0, 0)))[:, :n]
+        sv = jnp.where(sv != 0, sv, prev)
+        d *= 2
+
+    pp = sk >> 10
+    f_off = (sv >> 9) - 1
+    f_head = sv & 0xFF
+    f_fill = jnp.where((sv & 0x100) != 0, 0, 0xFF)
+    byte = jnp.where(f_off == pp, f_head, f_fill)
+    kb = jnp.where(is_probe, (pp << 8) | byte, BIG)
+    (kb,) = jax.lax.sort((kb,), dimension=1, num_keys=1)
+    return (kb[:, :outcap] & 0xFF).astype(jnp.uint8)
 
 
 def expand_slots_on_device_grouped(

@@ -240,7 +240,19 @@ def _stage_precompute_g(imgs_g, H: int, W: int, C: int,
     diff = jnp.where(neg, -diff, diff)
     # zero out the symbol padding (beyond n_sym): one decision each
     pad_mask = sym >= n_sym
-    return jnp.where(pad_mask, 0, h), jnp.where(pad_mask, 0, diff)
+    h = jnp.where(pad_mask, 0, h)
+    diff = jnp.where(pad_mask, 0, diff)
+    # decision-count reductions fused here: they read `diff` while it is
+    # still hot instead of re-streaming it from HBM in a separate program
+    ad = jnp.abs(diff)
+    e = transform.ilog2(jnp.maximum(ad, 1), max_bits=12)
+    nb = jnp.where(ad != 0, 2 * e + 3, 1)
+    counts = (
+        jnp.max(jnp.sum(nb, axis=1)),
+        jnp.max(nb),
+        jnp.max(jnp.sum((nb + 3) >> 2, axis=1)),
+    )
+    return h, diff, counts
 
 
 def _apply_rct(v0, r, g, b, C):
@@ -402,6 +414,15 @@ def _stage_expand(meta_g, runs_g, fin, outcap: int):
     return coder.expand_slots_on_device_grouped(meta_g, runs_g, outcap)
 
 
+@functools.partial(jax.jit, static_argnames=("outcap",))
+def _stage_expand_fused(kp_g, fin, outcap: int):
+    """Offset-packed byte records + final carries -> bytes + lengths."""
+    G = kp_g.shape[0]
+    fin = fin.reshape(G, 5, 1, 8, 128)
+    kp_fin, lens = coder.finish_steps_grouped_off(fin)
+    return coder.expand_kp_grouped(kp_g, kp_fin, outcap), lens
+
+
 def _group_host(imgs: np.ndarray) -> np.ndarray:
     """[S, h, W, C] u8 -> [G, n_pad, 8, 128] u8 (host-side; ~6 MB memcpy).
 
@@ -415,7 +436,8 @@ def _group_host(imgs: np.ndarray) -> np.ndarray:
     S = imgs.shape[0]
     C = imgs.shape[-1]
     n_sym = int(np.prod(imgs.shape[1:]))
-    quantum = math.lcm(2 * pk.SCHUNK, C)
+    # 128 keeps n_pad*K % TCHUNK == 0 for every K % 4 == 0 slot bucket
+    quantum = math.lcm(2 * pk.SCHUNK, 128, C)
     n_pad = -(-n_sym // quantum) * quantum
     Sp = -(-S // pk.GROUP) * pk.GROUP
     buf = np.zeros((Sp, n_pad), dtype=np.uint8)
@@ -442,8 +464,7 @@ def _launch_stage_counts(imgs: np.ndarray, cfg: CodecConfig = REV2):
     batch's host grouping + upload."""
     H, W, C = imgs.shape[1], imgs.shape[2], imgs.shape[3]
     imgs_g = jax.device_put(_group_host(imgs))
-    hash_g, diff_g = _stage_precompute_g(imgs_g, H, W, C, cfg)
-    counts = _stage_count(diff_g)
+    hash_g, diff_g, counts = _stage_precompute_g(imgs_g, H, W, C, cfg)
     return (imgs, hash_g, diff_g, counts, cfg)
 
 
@@ -465,10 +486,18 @@ def _launch_stage_rest(ctx, outcap: int, speculate: bool = True):
     n_sym = H * W * C
     geom = (H, W, C, imgs.shape[0])
 
+    symbol_variant = (
+        os.environ.get("LLCT_ENCODE_VARIANT", "symbol") == "symbol"
+    )
     spec = _spec_buckets.get(geom) if speculate else None
     if spec is None:
         sm = int(sym_max)
-        K = 8 if sm <= 8 else (16 if sm <= 16 else 24)
+        if symbol_variant:
+            # quad-packed compact sort only needs K % 4 == 0: finer buckets
+            # shrink the walk + compact sort when sm lands between 8/16/24
+            K = min(24, max(4, -(-sm // 4) * 4))
+        else:
+            K = 8 if sm <= 8 else (16 if sm <= 16 else 24)
         Tc_req = _bucket(int(total_max), quantum=8192)
         Tq_req = _bucket(int(quad_max), quantum=2048)
     else:
@@ -478,7 +507,7 @@ def _launch_stage_rest(ctx, outcap: int, speculate: bool = True):
     assert T < (1 << 20), "stripe too large for the packed-sort pallas path"
     Tc = min(T, Tc_req)
 
-    if os.environ.get("LLCT_ENCODE_VARIANT", "symbol") == "symbol":
+    if symbol_variant:
         # symbol-granular context sort: n_sym i64 elements/lane instead of
         # n_sym*K; the walk kernel regenerates decisions and emits the
         # compacting back sort's operand directly (docs/DESIGN.md)
@@ -491,14 +520,17 @@ def _launch_stage_rest(ctx, outcap: int, speculate: bool = True):
         skey, spay = skey[:, :Tc], spay[:, :Tc]
         probs_g = pk.walk_probs(_stage_walk_xs(skey, spay))
         coder_xs = _stage_back_sort(skey, spay, probs_g)
-    meta_g, runs_g, fin = pk.coder_scan(coder_xs)
-    byts, lens = _stage_expand(meta_g, runs_g, fin, outcap)
+    kp_g, fin = pk.coder_scan_off(coder_xs)
+    byts, lens = _stage_expand_fused(kp_g, fin, outcap)
 
     def check() -> bool:
         sm = int(sym_max)
         tm = int(total_max)
         qm = int(quad_max)
-        kk = 8 if sm <= 8 else (16 if sm <= 16 else 24)
+        if symbol_variant:
+            kk = min(24, max(4, -(-sm // 4) * 4))
+        else:
+            kk = 8 if sm <= 8 else (16 if sm <= 16 else 24)
         _spec_buckets[geom] = (
             kk,
             max(_bucket(tm, quantum=8192), Tc_req),

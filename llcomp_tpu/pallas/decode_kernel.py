@@ -45,6 +45,7 @@ Bitstream semantics are the reference's exactly: decoder loop
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -111,7 +112,7 @@ def _sublane_gather(block, idx):
 
 
 def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
-                 interpret: bool):
+                 interpret: bool, ablate: str = ""):
     """``interpret=True`` swaps the three per-lane stage loops (model row
     pair in/out + byte window) for single vectorized gathers/scatters with
     identical semantics — the Mosaic-legal 128-iteration loops take minutes
@@ -207,7 +208,12 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
             # row 0: model word index; row 1: byte-window word base,
             # clamped so overrun/corrupt streams stage the zero tail.
             w4 = jnp.clip(jax.lax.shift_right_logical(dpos, 2), 0, nwords - 8)
-            if interpret:
+            if "nostagein" in ablate:
+                # timing ablation only (bit-INEXACT): zero model rows/window
+                wa = jnp.zeros((1, LANES), jnp.int32)
+                wb = jnp.zeros((1, LANES), jnp.int32)
+                wind = jnp.zeros((8, LANES), jnp.int32)
+            elif interpret:
                 mdl = model_ref[:]
                 wa = jnp.take_along_axis(mdl, base2, axis=0)
                 wb = jnp.take_along_axis(mdl, base2 + 1, axis=0)
@@ -323,12 +329,13 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
                 return (wa, wb, low, rng, dpos, nphase, value, e2, ectx,
                         mrem, mctx, errv)
 
+            nsteps = cfg.max_bins_per_symbol
+            if "decis1" in ablate:
+                nsteps = 1  # timing ablation only (bit-INEXACT)
             if interpret:
-                dstate = jax.lax.fori_loop(
-                    0, cfg.max_bins_per_symbol, decision, dstate
-                )
+                dstate = jax.lax.fori_loop(0, nsteps, decision, dstate)
             else:
-                for _d in range(cfg.max_bins_per_symbol):
+                for _d in range(nsteps):
                     dstate = decision(_d, dstate)
             (wa, wb, low, rng, dpos, phase, value, _e, _ectx, _mrem, _mctx,
              errv) = dstate
@@ -344,7 +351,9 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
             # ---- stage-out the updated word pair (dynamic-row RMW) ----
             w0, w1 = wa, wb
 
-            if interpret:
+            if "nostage" in ablate:
+                pass  # timing ablation: no model write-back
+            elif interpret:
                 mdl = model_ref[:]
                 lidx = jnp.arange(LANES)
                 mdl = mdl.at[base2[0, :], lidx].set(w0[0, :])
@@ -383,6 +392,286 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
     return kernel
 
 
+def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
+                         ablate: str = ""):
+    """Hardware kernel, 8-symbol blocks (requires stride % 8 == 0, C <= 8).
+
+    The ablation probe (tools/probe_decode_ablate.py) showed ~half the
+    per-symbol cost is *fixed* overhead: six (1,128) dynamic neighbor line
+    loads, per-symbol scalar index math and loop bookkeeping.  This variant
+    amortizes all of it over 8-symbol blocks that never straddle a pixel
+    row (stride % 8 == 0 guarantees that):
+
+    * neighbor windows stage once per block as three dynamic row loads —
+      cur (16,128) / up (24,128) / upup (8,128) — and every in-block read
+      becomes a STATIC sublane slice; pixels decoded within the block are
+      forwarded through registers instead of re-read from the ring;
+    * the ring and the planes output are written once per block as aligned
+      (8,128) tiles;
+    * the model write-back is deferred one symbol and merged with the next
+      symbol's stage-in, so each symbol runs ONE 128-lane staging loop with
+      packed (2,128) row-pair accesses (write prev pair, read cur pair,
+      read byte window) instead of separate in/out loops;
+    * per-symbol scalar math on (h, w, offsets) reduces to a handful of
+      block-level scalars plus static per-slot constants.
+
+    The lines scratch is padded by 16 rows on both ends so window bases
+    never need clamping (reads outside the current row are masked by the
+    same edge predicates the reference uses).  Bitstream semantics are
+    identical to ``_make_kernel`` (decoder loop `llcomp.hpp:486-545`).
+    """
+    stride = W * C
+    n_sym = H * W * C
+    nwords = cap // 4
+    assert stride % 8 == 0 and C <= 8 and SYMCHUNK % 8 == 0
+    LPAD = 16                       # lines base pad (window underruns)
+    TRASH = NS4 - 2                 # model row pair never read by decode
+
+    def kernel(data_ref, ftab, q11lo, q11hi, q5lo, q5hi,
+               planes_ref, err_ref, model_ref, lines_ref, vscr_ref,
+               sscr_ref, pend_ref, state_ref, dma_sem):
+        chunk = pl.program_id(1)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 1)
+        ftab_v = ftab[:]
+        q11lo_v = q11lo[:]
+        q11hi_v = q11hi[:]
+        q5lo_v = q5lo[:]
+        q5hi_v = q5hi[:]
+
+        @pl.when(chunk == 0)
+        def _init():
+            model_ref[:] = jnp.zeros((NS4, LANES), jnp.int32)
+            lines_ref[:] = jnp.zeros((2 * LPAD + 3 * stride, LANES), jnp.int32)
+            err_ref[:] = jnp.zeros((8, LANES), jnp.int32)
+            pend_ref[:] = jnp.zeros((2, LANES), jnp.int32)
+            w0 = data_ref[0:1, :]
+            b0 = w0 & 0xFF
+            b1 = (w0 >> 8) & 0xFF
+            # rows of state_ref: 0=low 1=range 2=dpos
+            state_ref[0:1, :] = (b0 << 8) | b1
+            state_ref[1:2, :] = jnp.full((1, LANES), 0xFF00, jnp.int32)
+            state_ref[2:3, :] = jnp.full((1, LANES), 2, jnp.int32)
+            state_ref[3:8, :] = jnp.zeros((5, LANES), jnp.int32)
+            # seed the deferred write-back: a zero pair aimed at the trash
+            # row, and make the j=7 parity slot's base point there too
+            vscr_ref[0:1, :] = jnp.full((1, LANES), TRASH, jnp.int32)
+            vscr_ref[1:2, :] = jnp.zeros((1, LANES), jnp.int32)
+            cp = pltpu.make_async_copy(vscr_ref, sscr_ref.at[pl.ds(2, 2)],
+                                       dma_sem)
+            cp.start()
+            cp.wait()
+
+        def decision(dstate):
+            (wa, wb, low, rng, dpos, wbase, wind, phase, value, e, ectx,
+             mrem, mctx, errv) = dstate
+            act = phase != _DONE
+            ctx = jnp.where(phase == _EXP,
+                            jnp.minimum(ectx, cfg.e_lim), 0)
+            ctx = jnp.where(phase == _MANT,
+                            jnp.minimum(mctx, cfg.r_lim), ctx)
+            ctx = jnp.where(phase == _SIGN, cfg.sign_ctx, ctx)
+
+            sh = (ctx & 3) * 8
+            mword = jnp.where(ctx < 4, wa, wb)
+            st8 = jax.lax.shift_right_logical(mword, sh) & 0xFF
+            f = _lut(ftab_v, st8)
+            prob = f & 0xFF
+            range1 = (rng * prob) >> 8
+            rng0 = rng - range1
+            bit = (low >= rng0) & act
+            low = jnp.where(bit, low - rng0, low)
+            rng = jnp.where(act, jnp.where(bit, range1, rng0), rng)
+            refl = act & (rng < 0x100)
+            widx = dpos - wbase
+            word = _sublane_gather(
+                wind,
+                jnp.minimum(jax.lax.shift_right_logical(widx, 2), 7),
+            )
+            byte = (word >> ((widx & 3) * 8)) & 0xFF
+            byte = jnp.where(widx < 32, byte, 0)
+            low = jnp.where(refl, (low << 8) | byte, low)
+            rng = jnp.where(refl, rng << 8, rng)
+            dpos = jnp.where(refl, dpos + 1, dpos)
+
+            ns = jax.lax.shift_right_logical(
+                f, jnp.where(bit, 16, 8)) & 0xFF
+            neww = (mword & ~(0xFF << sh)) | (ns << sh)
+            wa = jnp.where(act & (ctx < 4), neww, wa)
+            wb = jnp.where(act & (ctx >= 4), neww, wb)
+
+            b = bit.astype(jnp.int32)
+            is_zf = (phase == _ZF) & act
+            is_exp = (phase == _EXP) & act
+            is_mant = (phase == _MANT) & act
+            is_sign = (phase == _SIGN) & act
+
+            value = jnp.where(is_zf, jnp.where(bit, 0, 1), value)
+            value = jnp.where(is_mant, 2 * value + b, value)
+            value = jnp.where(is_sign & bit, -value, value)
+            e2 = jnp.where(is_exp & bit, e + 1, e)
+            errv = errv | (is_exp & (e2 > 31)).astype(jnp.int32)
+            ectx = jnp.where(is_exp & bit, ectx + 1, ectx)
+            last_mant = is_mant & (mrem == 1)
+            mrem = jnp.where(is_exp & ~bit, e2,
+                             jnp.where(is_mant, mrem - 1, mrem))
+            mctx = jnp.where(is_mant, mctx + 1, mctx)
+            nphase = phase
+            nphase = jnp.where(is_zf, jnp.where(bit, _DONE, _EXP), nphase)
+            nphase = jnp.where(is_exp & ~bit,
+                               jnp.where(e2 > 0, _MANT, _SIGN), nphase)
+            nphase = jnp.where(last_mant, _SIGN, nphase)
+            nphase = jnp.where(is_sign, _DONE, nphase)
+            return (wa, wb, low, rng, dpos, wbase, wind, nphase, value,
+                    e2, ectx, mrem, mctx, errv)
+
+        def block_body(m, carry):
+            low, rng, dpos, pa, pb = carry
+            sym0 = chunk * SYMCHUNK + m * 8
+            off0 = sym0 % stride
+            h = sym0 // stride
+            cur = LPAD + (h % 3) * stride
+            up = LPAD + ((h + 2) % 3) * stride
+            upup = LPAD + ((h + 1) % 3) * stride
+
+            # ---- block neighbor windows (3 dynamic loads / 8 symbols) --
+            cur_win = lines_ref[pl.ds(cur + off0 - 16, 16), :]
+            up_win = lines_ref[pl.ds(up + off0 - 8, 24), :]
+            upup_win = lines_ref[pl.ds(upup + off0, 8), :]
+            h_pos = h > 0
+            h_pos2 = h > 1
+
+            recons = []
+            for j in range(8):
+                off_j = off0 + j
+                w_pos = off_j >= C            # w > 0
+                w_pos2 = off_j >= 2 * C       # w > 1
+                w_last = off_j >= stride - C  # w == W-1
+
+                l_raw = (recons[j - C] if j - C >= 0
+                         else cur_win[16 + j - C: 17 + j - C, :])
+                L_raw = (recons[j - 2 * C] if j - 2 * C >= 0
+                         else cur_win[16 + j - 2 * C: 17 + j - 2 * C, :])
+                up_x = up_win[8 + j: 9 + j, :]
+                l_ = jnp.where(w_pos, l_raw,
+                               jnp.where(h_pos, up_x, 128))
+                t_ = jnp.where(h_pos, up_x, l_)
+                L_ = jnp.where(w_pos2, L_raw, l_)
+                tl = jnp.where(h_pos & w_pos,
+                               up_win[8 + j - C: 9 + j - C, :], t_)
+                tr = jnp.where(h_pos & ~w_last,
+                               up_win[8 + j + C: 9 + j + C, :], t_)
+                T_ = jnp.where(h_pos2, upup_win[j: j + 1, :], t_)
+
+                if "nohash" in ablate:
+                    # timing ablation only (bit-INEXACT)
+                    hsh = l_ - l_
+                    predict = t_ - t_
+                else:
+                    hsh = (
+                        _quant(q11lo_v, q11hi_v, l_ - tl)
+                        + _quant(q11lo_v, q11hi_v, tl - t_) * 11
+                        + _quant(q11lo_v, q11hi_v, t_ - tr) * 121
+                        + _quant(q5lo_v, q5hi_v, L_ - l_) * 605
+                        + _quant(q5lo_v, q5hi_v, T_ - t_) * 3025
+                    )
+                    predict = jnp.clip(
+                        l_ + t_ - tl, jnp.minimum(l_, t_), jnp.maximum(l_, t_)
+                    )
+                neg = hsh < 0
+                base2 = jnp.where(neg, -hsh, hsh) * 2
+
+                # ---- bridge scalars; parity slot is static (j & 1) -----
+                w4 = jnp.clip(jax.lax.shift_right_logical(dpos, 2),
+                              0, nwords - 8)
+                slot = (j & 1) * 2
+                pslot = ((j + 1) & 1) * 2
+                if "nodma" not in ablate:
+                    vscr_ref[0:1, :] = base2
+                    vscr_ref[1:2, :] = w4
+                    cp = pltpu.make_async_copy(
+                        vscr_ref, sscr_ref.at[pl.ds(slot, 2)], dma_sem
+                    )
+                    cp.start()
+                    cp.wait()
+
+                # ---- ONE merged staging loop: write-back prev symbol's
+                # pair, read this symbol's pair + byte window -------------
+                pend = jnp.concatenate([pa, pb], axis=0)
+
+                def stage(l, acc):
+                    pair, wind = acc
+                    rp = sscr_ref[pslot, l]
+                    rc = sscr_ref[slot, l]
+                    b = sscr_ref[slot + 1, l]
+                    old = model_ref[pl.ds(rp, 2), :]
+                    model_ref[pl.ds(rp, 2), :] = jnp.where(
+                        lane2 == l, pend, old
+                    )
+                    pair = jnp.where(
+                        lane2 == l, model_ref[pl.ds(rc, 2), :], pair
+                    )
+                    wind = jnp.where(lane8 == l, data_ref[pl.ds(b, 8), :],
+                                     wind)
+                    return pair, wind
+
+                if "nostage" in ablate or "nodma" in ablate:
+                    # timing ablation only (bit-INEXACT)
+                    pair = jnp.zeros((2, LANES), jnp.int32)
+                    wind = jnp.zeros((8, LANES), jnp.int32)
+                else:
+                    pair, wind = jax.lax.fori_loop(
+                        0, LANES, stage,
+                        (jnp.zeros((2, LANES), jnp.int32),
+                         jnp.zeros((8, LANES), jnp.int32)),
+                    )
+                wa = pair[0:1, :]
+                wb = pair[1:2, :]
+                wbase = w4 * 4
+
+                one = jnp.ones((1, LANES), jnp.int32)
+                dstate = (
+                    wa, wb, low, rng, dpos, wbase, wind,
+                    jnp.full((1, LANES), _ZF, jnp.int32),
+                    0 * one, 0 * one, one, 0 * one,
+                    jnp.full((1, LANES), cfg.e_lim + 1, jnp.int32),
+                    0 * one,
+                )
+                nsteps = 1 if "decis1" in ablate else cfg.max_bins_per_symbol
+                for _d in range(nsteps):
+                    dstate = decision(dstate)
+                (pa, pb, low, rng, dpos, _wbase, _wind, phase, value,
+                 _e, _ectx, _mrem, _mctx, errv) = dstate
+
+                errv = errv | (phase != _DONE).astype(jnp.int32)
+
+                @pl.when(sym0 + j < n_sym)
+                def _():
+                    err_ref[0:1, :] = err_ref[0:1, :] | errv
+
+                diff = jnp.where(neg, -value, value)
+                recons.append(predict + diff)
+
+            blk = jnp.concatenate(recons, axis=0)
+            lines_ref[pl.ds(cur + off0, 8), :] = blk
+            planes_ref[pl.ds(m * 8, 8), :] = blk
+            return low, rng, dpos, pa, pb
+
+        init = (state_ref[0:1, :], state_ref[1:2, :], state_ref[2:3, :],
+                pend_ref[0:1, :], pend_ref[1:2, :])
+        low, rng, dpos, pa, pb = jax.lax.fori_loop(
+            0, SYMCHUNK // 8, block_body, init
+        )
+        state_ref[0:1, :] = low
+        state_ref[1:2, :] = rng
+        state_ref[2:3, :] = dpos
+        pend_ref[0:1, :] = pa
+        pend_ref[1:2, :] = pb
+
+    return kernel
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -416,6 +705,10 @@ def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
                   cfg: CodecConfig = REV2):
     """data [G, cap, 128] u8 (zero-padded, cap % 64 == 0) ->
     (planes [G, n_sym_pad, 128] i32, err [G, 8, 128] i32)."""
+    return _decode_groups_impl(data, H, W, C, cfg, "")
+
+
+def _decode_groups_impl(data, H, W, C, cfg, ablate):
     G, cap = data.shape[0], data.shape[1]
     n_sym = H * W * C
     n_chunks = -(-n_sym // SYMCHUNK)
@@ -431,7 +724,33 @@ def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
 
     stride = W * C
     interpret = _use_interpret()
-    kernel = _make_kernel(H, W, C, cap, cfg, interpret)
+    # LLCT_DECODE_FORCE_BLOCKED lets the CPU test suite run the hardware
+    # blocked kernel under the (slow) Pallas interpreter on tiny images
+    blocked = (stride % 8 == 0 and C <= 8
+               and (not interpret
+                    or os.environ.get("LLCT_DECODE_FORCE_BLOCKED") == "1"))
+    if blocked:
+        kernel = _make_kernel_blocked(H, W, C, cap, cfg, ablate)
+        scratch = [
+            pltpu.VMEM((NS4, LANES), jnp.int32),
+            pltpu.VMEM((32 + 3 * stride, LANES), jnp.int32),
+            pltpu.VMEM((2, LANES), jnp.int32),
+            pltpu.SMEM((4, LANES), jnp.int32),
+            pltpu.VMEM((2, LANES), jnp.int32),     # pending model pair
+            pltpu.VMEM((8, LANES), jnp.int32),     # coder state
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        kernel = _make_kernel(H, W, C, cap, cfg, interpret, ablate)
+        scratch = [
+            pltpu.VMEM((NS4, LANES), jnp.int32),
+            pltpu.VMEM((3 * stride, LANES), jnp.int32),
+            pltpu.VMEM((2, LANES), jnp.int32),
+            pltpu.SMEM((2, LANES), jnp.int32),
+            pltpu.VMEM((8, LANES), jnp.int32),
+            pltpu.VMEM((8, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ]
     tabs = [_FUSED, _Q11_LO, _Q11_HI, _Q5_LO, _Q5_HI]
     planes, err = pl.pallas_call(
         kernel,
@@ -453,15 +772,7 @@ def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
             jax.ShapeDtypeStruct((G, n_sym_pad, LANES), jnp.int32),
             jax.ShapeDtypeStruct((G, 8, LANES), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((NS4, LANES), jnp.int32),
-            pltpu.VMEM((3 * stride, LANES), jnp.int32),
-            pltpu.VMEM((2, LANES), jnp.int32),
-            pltpu.SMEM((2, LANES), jnp.int32),
-            pltpu.VMEM((8, LANES), jnp.int32),
-            pltpu.VMEM((8, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(jnp.asarray(d32), *[jnp.asarray(t) for t in tabs])
     return planes, err

@@ -254,7 +254,7 @@ def walk_symbols(xs: jnp.ndarray, K: int = 24) -> jnp.ndarray:
     [G, n_sym_pad*K, 8, 128] i32 ready for the compacting back sort."""
     G, n_pad = xs.shape[0], xs.shape[1]
     assert n_pad % SYMCHUNK == 0, n_pad
-    assert K % 8 == 0, K
+    assert K % 4 == 0, K  # quad-packed compact sort granularity
     return pl.pallas_call(
         _make_symwalk_kernel(K),
         grid=(G, n_pad // SYMCHUNK),
@@ -405,6 +405,105 @@ def _coder_kernel(xs_ref, meta_ref, runs_ref, fin_ref, low_s, rng_s, pend_s, run
         fin_ref[0, 1] = rng
         fin_ref[0, 2] = pend
         fin_ref[0, 3] = run
+
+
+def _coder_kernel_off(xs_ref, kp_ref, fin_ref, low_s, rng_s, pend_s, run_s,
+                      off_s):
+    """Offset-packed variant: one record per decision, ``off<<9|carry<<8|head``
+    for an emitting slot (off = the flushed head byte's position in the
+    lane's output stream) or INT32_MAX for a silent one.  Emitting the byte
+    offset from the scan carry kills the XLA cumsum over T and the separate
+    offset-compaction sort in the expansion (coder.expand_kp_grouped), and
+    halves the kernel's HBM writes vs the (meta, runs) pair."""
+    tchunk = pl.program_id(1)
+
+    @pl.when(tchunk == 0)
+    def _():
+        low_s[:] = jnp.zeros((SUBS, LANES), jnp.int32)
+        rng_s[:] = jnp.full((SUBS, LANES), 0xFF00, jnp.int32)
+        pend_s[:] = jnp.full((SUBS, LANES), -1, jnp.int32)
+        run_s[:] = jnp.zeros((SUBS, LANES), jnp.int32)
+        off_s[:] = jnp.zeros((SUBS, LANES), jnp.int32)
+
+    def step(t, carry):
+        low, rng, pend, run, off = carry
+        x = xs_ref[0, t]
+        prob = x & 0xFF
+        bit = (x & 0x100) != 0
+        valid = (x & 0x200) != 0
+
+        range1 = (rng * prob) >> 8
+        low = jnp.where(bit & valid, low + rng - range1, low)
+        rng = jnp.where(valid, jnp.where(bit, range1, rng - range1), rng)
+        do = valid & (rng < 0x100)
+
+        first = pend < 0
+        nocarry = low <= 0xFF00
+        cry = low >= 0x10000
+        emit = do & ~first & (nocarry | cry)
+        defer = do & ~first & ~nocarry & ~cry
+        head = jnp.where(cry, (pend + 1) & 0xFF, pend & 0xFF)
+
+        kp_ref[0, t] = jnp.where(
+            emit,
+            (off << 9) | (cry.astype(jnp.int32) << 8) | head,
+            jnp.int32(0x7FFFFFFF),
+        )
+
+        off = jnp.where(emit, off + 1 + run, off)
+        pend = jnp.where(do & ~defer, (low >> 8) & 0xFF, pend)
+        run = jnp.where(emit, 0, jnp.where(defer, run + 1, run))
+        low = jnp.where(do, (low & 0xFF) << 8, low)
+        rng = jnp.where(do, rng << 8, rng)
+        return low, rng, pend, run, off
+
+    low, rng, pend, run, off = jax.lax.fori_loop(
+        0, TCHUNK, step,
+        (low_s[:], rng_s[:], pend_s[:], run_s[:], off_s[:]),
+    )
+    low_s[:] = low
+    rng_s[:] = rng
+    pend_s[:] = pend
+    run_s[:] = run
+    off_s[:] = off
+
+    @pl.when(tchunk == pl.num_programs(1) - 1)
+    def _():
+        fin_ref[0, 0] = low
+        fin_ref[0, 1] = rng
+        fin_ref[0, 2] = pend
+        fin_ref[0, 3] = run
+        fin_ref[0, 4] = off
+
+
+@functools.partial(jax.jit, static_argnames=())
+def coder_scan_off(xs: jnp.ndarray):
+    """xs [G, T, 8, 128] int32 (prob | bit<<8 | valid<<9, stream order) ->
+    (kp [G, T, 8, 128] i32 offset-packed byte records,
+    fin [G, 5, 8, 128] final carries incl. the byte offset)."""
+    G, T = xs.shape[0], xs.shape[1]
+    grid = (G, T // TCHUNK)
+    kp, fin = pl.pallas_call(
+        _coder_kernel_off,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TCHUNK, SUBS, LANES), lambda g, t: (g, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TCHUNK, SUBS, LANES), lambda g, t: (g, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, SUBS, LANES), lambda g, t: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(xs.shape, jnp.int32),
+            jax.ShapeDtypeStruct((G, 5, SUBS, LANES), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((SUBS, LANES), jnp.int32)] * 5,
+        interpret=_use_interpret(),
+    )(xs)
+    return kp, fin
 
 
 @functools.partial(jax.jit, static_argnames=())
