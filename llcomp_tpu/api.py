@@ -7,6 +7,8 @@ stream; see ``container``).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import container
@@ -31,15 +33,19 @@ def pick_slice_height(height: int, width: int, channels: int,
     More stripes = more parallel lanes but each stream restarts its adaptive
     model from zero, costing ratio on small stripes.  Default: aim for
     ``target_lanes`` stripes but never fewer than ``min_rows`` rows per
-    stripe.  Capped so a stripe's worst-case decision stream stays inside the
-    Pallas path's packed-sort position budget (2^20).
+    stripe.  Capped by the encode pipeline's HBM budget (below).
     """
     rows = max(min_rows, -(-height // target_lanes))
-    # HBM budget: the encode pipeline holds ~20 B per decision slot for a
-    # 1024-lane group; cap a stripe's worst-case slot count at ~320k so wide
-    # images stay well inside memory (the 2^20 sort-position budget is the
-    # looser constraint)
-    max_rows = max(1, 320_000 // (24 * width * channels))
+    # HBM budget: the Pallas encode pipeline peaks at ~6 B per decision slot
+    # per lane of a 1024-lane group (pair-packed walk records + truncated-
+    # unpack compact sort); cap a stripe's worst-case slot count so wide
+    # images stay well inside memory.  The sort-position budget itself is
+    # 2^25 slots (encode._stage_compact) — far looser than this memory cap.
+    # Never drop below min_rows though: tiny stripes cost ratio (each stream
+    # restarts its model), so ultra-wide images keep >= min_rows rows and
+    # encode_lanes routes their over-budget stripes to the XLA engine.
+    budget = int(os.environ.get("LLCT_SLOT_BUDGET", 900_000))
+    max_rows = max(min(height, min_rows), budget // (24 * width * channels))
     return max(1, min(height, rows, max_rows))
 
 
@@ -97,9 +103,16 @@ def encode_stripes(img: np.ndarray, bounds, cfg: CodecConfig = REV2) -> list[byt
         by_shape.setdefault(y1 - y0, []).append(i)
     out: list[bytes | None] = [None] * len(bounds)
     for rows, idxs in by_shape.items():
-        lanes = np.stack([img[bounds[i][0] : bounds[i][1]] for i in idxs])
-        for i, blob in zip(idxs, encode.encode_lanes(lanes, cfg)):
-            out[i] = blob
+        # bound device memory for very large stripes: the encode engines
+        # hold O(n_sym*24) slot records per lane, so cap slots*lanes in
+        # flight (~4 GB at 8 B/slot) and chunk the lane batch if needed
+        n_sym = rows * img.shape[1] * img.shape[2]
+        chunk = max(1, 500_000_000 // max(1, n_sym * 24))
+        for c0 in range(0, len(idxs), chunk):
+            part = idxs[c0 : c0 + chunk]
+            lanes = np.stack([img[bounds[i][0] : bounds[i][1]] for i in part])
+            for i, blob in zip(part, encode.encode_lanes(lanes, cfg)):
+                out[i] = blob
     return out  # type: ignore[return-value]
 
 

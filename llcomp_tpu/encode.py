@@ -320,63 +320,76 @@ def _stage_fwd_sort(stream_g):
 def _stage_sym_sort(hash_g, diff_g, n_sym: int):
     """Symbol-granular context sort (docs/DESIGN.md): sort *symbols* by
     (hash, position) — n_sym elements/lane instead of n_sym*K decision
-    slots — and hand the walk kernel everything it needs to regenerate the
-    decisions: (origsym << 14 | live << 13 | seg << 12 | diff+1274) i32.
+    slots.  Returns the walk kernel's input (live << 13 | seg << 12 |
+    diff+1274) plus the sorted original symbol positions as their own i32
+    array, so the walk kernel never carries position bits and the stream
+    budget is set by the i64 quad key alone (2^25 positions, not 2^17).
 
-    Key layout (42 bits): hash[13] | sympos[17] | diff+1274[12]; symbol
+    Key layout (55 bits): hash[13] | sympos[30] | diff+1274[12]; symbol
     padding gets hash 0x1FFF so it sorts after every real context run.
     """
     with jax.enable_x64(True):
         sym = jax.lax.broadcasted_iota(jnp.int64, hash_g.shape, 1)
         live = sym < n_sym
         h64 = jnp.where(live, hash_g.astype(jnp.int64), jnp.int64(0x1FFF))
-        packed = (h64 << 29) | (sym << 12) | (diff_g + 1274).astype(jnp.int64)
+        packed = (h64 << 42) | (sym << 12) | (diff_g + 1274).astype(jnp.int64)
         (s,) = jax.lax.sort((packed,), dimension=1, is_stable=False, num_keys=1)
-        h_s = (s >> 29).astype(jnp.int32)
-        rest = (s & ((jnp.int64(1) << 29) - 1)).astype(jnp.int32)  # sym|diff
+        h_s = (s >> 42).astype(jnp.int32)
+        origsym = ((s >> 12) & ((jnp.int64(1) << 30) - 1)).astype(jnp.int32)
+        d12 = (s & 0xFFF).astype(jnp.int32)
     prev = jnp.concatenate(
         [jnp.full_like(h_s[:, :1], -2), h_s[:, :-1]], axis=1
     )
     seg = (h_s != prev).astype(jnp.int32)
     live_s = (h_s != 0x1FFF).astype(jnp.int32)
-    return ((rest >> 12) << 14) | (live_s << 13) | (seg << 12) | (rest & 0xFFF)
+    return (live_s << 13) | (seg << 12) | d12, origsym
 
 
-@jax.jit
-def _stage_compact(kp):
-    """Packed walk slots -> compacted stream-order coder input, 4 at a time.
+@functools.partial(jax.jit, static_argnames=("K", "Tq"))
+def _stage_compact(kpp, origsym, K: int, Tq: int):
+    """Pair-packed walk records -> compacted stream-order coder input.
 
-    kp = slotpos << 10 | valid << 9 | bit << 8 | prob (invalid slots are
-    INT32_MAX).  A symbol's valid slots are a prefix of its K-slot block and
-    K % 4 == 0, so four consecutive records share quad validity with the
-    first: packing each aligned quad into ONE i64
-    (slotquad << 40 | rec4 << 30 | rec3 << 20 | rec2 << 10 | rec1) quarters
-    the element count of the compacting un-permute sort at only double the
-    width.  The ascending sort both restores stream order and front-packs
-    the live quads; records unpack straight into the coder xs format
-    (prob | bit<<8 | valid<<9), with dead records as 0 (valid bit clear).
+    kpp [G, n_pad*K/2, 8, 128] = rec_{2m+1}<<10 | rec_{2m} in context-sorted
+    symbol order (rec = valid<<9|bit<<8|prob, invalid 0); origsym the sorted
+    symbols' original stream positions.  A symbol's valid slots are a prefix
+    of its K-slot block and K % 4 == 0, so each aligned quad shares validity
+    with its first record: packing a quad and its stream position into ONE
+    i64 (slotquad << 40 | rec4..rec1) quarters the compacting un-permute
+    sort's element count.  slotquad gets 23 bits — the position budget is
+    2^25 decision slots per lane (the old in-kernel i32 packing capped it
+    at 2^20).  The ascending sort restores stream order AND front-packs the
+    live quads; records unpack straight into the coder xs format
+    (prob | bit<<8 | valid<<9), dead records 0.
     """
-    G, T = kp.shape[0], kp.shape[1]
-    q = kp.reshape(G, T // 4, 4, kp.shape[2], kp.shape[3])
-    r = [q[:, :, j] for j in range(4)]
-    live = r[0] != jnp.int32(0x7FFFFFFF)
-    rec = [jnp.where(x != jnp.int32(0x7FFFFFFF), x & 0x3FF, 0) for x in r]
+    G, T2 = kpp.shape[0], kpp.shape[1]
+    n_pad = origsym.shape[1]
+    QS = K // 4                        # quads per symbol
+    q = kpp.reshape(G, n_pad, QS, 2, kpp.shape[2], kpp.shape[3])
+    lo = q[:, :, :, 0]                 # rec1 | rec2<<10
+    hi = q[:, :, :, 1]                 # rec3 | rec4<<10
+    live = (lo & (1 << 9)) != 0
     with jax.enable_x64(True):
+        quad_i = jax.lax.broadcasted_iota(jnp.int64, lo.shape, 2)
+        slotquad = origsym[:, :, None].astype(jnp.int64) * QS + quad_i
         kq = (
-            (r[0].astype(jnp.int64) >> 12) << 40
-            | (rec[3].astype(jnp.int64) << 30)
-            | (rec[2].astype(jnp.int64) << 20)
-            | (rec[1].astype(jnp.int64) << 10)
-            | rec[0].astype(jnp.int64)
+            (slotquad << 40)
+            | (hi.astype(jnp.int64) << 20)
+            | lo.astype(jnp.int64)
         )
         kq = jnp.where(live, kq, jnp.int64(0x7FFFFFFFFFFFFFFF))
+        kq = kq.reshape(G, n_pad * QS, kpp.shape[2], kpp.shape[3])
         (s,) = jax.lax.sort((kq,), dimension=1, is_stable=False, num_keys=1)
+        # live quads are front-packed: unpack only the Tq-quad prefix the
+        # coder will consume (the full-T unpack dominated HBM at large T)
+        s = s[:, :Tq]
         dead = s == jnp.int64(0x7FFFFFFFFFFFFFFF)
         outs = [
             jnp.where(dead, 0, (s >> (10 * j)) & 0x3FF).astype(jnp.int32)
             for j in range(4)
         ]
-    return jnp.stack(outs, axis=2).reshape(G, T, kp.shape[2], kp.shape[3])
+    return jnp.stack(outs, axis=2).reshape(
+        G, Tq * 4, kpp.shape[2], kpp.shape[3]
+    )
 
 
 @jax.jit
@@ -504,16 +517,18 @@ def _launch_stage_rest(ctx, outcap: int, speculate: bool = True):
         K, Tc_req, Tq_req = spec
 
     T = hash_g.shape[1] * K
-    assert T < (1 << 20), "stripe too large for the packed-sort pallas path"
+    assert T < (1 << 25), "stripe too large for the packed-sort pallas path"
+    assert _outcap(n_sym) < (1 << 21), "stripe too large for byte expansion"
     Tc = min(T, Tc_req)
 
     if symbol_variant:
         # symbol-granular context sort: n_sym i64 elements/lane instead of
         # n_sym*K; the walk kernel regenerates decisions and emits the
         # compacting back sort's operand directly (docs/DESIGN.md)
-        xs_sym = _stage_sym_sort(hash_g, diff_g, n_sym)
-        kp = pk.walk_symbols(xs_sym, K)
-        coder_xs = _stage_compact(kp)[:, : min(T, Tq_req * 4)]
+        xs_sym, origsym = _stage_sym_sort(hash_g, diff_g, n_sym)
+        kpp = pk.walk_symbols(xs_sym, K)
+        coder_xs = _stage_compact(kpp, origsym, K,
+                                  min(T, Tq_req * 4) // 4)
     else:
         stream_g = pk.build_stream(hash_g, diff_g, n_sym, K)
         skey, spay = _stage_fwd_sort(stream_g)
@@ -625,9 +640,14 @@ def encode_lanes(
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     n_sym_total = int(np.prod(imgs.shape[1:]))
-    if engine == "pallas" and n_sym_total * 24 >= (1 << 20):
-        # stripe too large for the packed-sort position budget; the XLA
-        # engine has no such limit (pick_slice_height avoids this by default)
+    slot_budget = int(os.environ.get("LLCT_SLOT_BUDGET", 900_000))
+    if engine == "pallas" and (n_sym_total * 24 >= (1 << 25)
+                               or n_sym_total * 24 > slot_budget
+                               or _outcap(n_sym_total) >= (1 << 21)):
+        # stripe too large for the packed-sort position budget (2^25 slots),
+        # the per-group HBM slot budget (~6 B/slot/lane at 1024 lanes), or
+        # the byte-expansion offset budget (2^21 bytes); the XLA engine has
+        # no such limits (pick_slice_height avoids this by default)
         engine = "xla"
     if engine == "pallas":
         n_sym = int(np.prod(imgs.shape[1:]))

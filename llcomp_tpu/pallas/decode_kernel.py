@@ -526,8 +526,13 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
             return (wa, wb, low, rng, dpos, wbase, wind, nphase, value,
                     e2, ectx, mrem, mctx, errv)
 
+        zero1 = jnp.zeros((1, LANES), jnp.int32)
+        one1 = jnp.ones((1, LANES), jnp.int32)
+        zf1 = jnp.full((1, LANES), _ZF, jnp.int32)
+        mctx1 = jnp.full((1, LANES), cfg.e_lim + 1, jnp.int32)
+
         def block_body(m, carry):
-            low, rng, dpos, pa, pb = carry
+            low, rng, dpos, pa, pb, erracc = carry
             sym0 = chunk * SYMCHUNK + m * 8
             off0 = sym0 % stride
             h = sym0 // stride
@@ -630,13 +635,9 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
                 wb = pair[1:2, :]
                 wbase = w4 * 4
 
-                one = jnp.ones((1, LANES), jnp.int32)
                 dstate = (
                     wa, wb, low, rng, dpos, wbase, wind,
-                    jnp.full((1, LANES), _ZF, jnp.int32),
-                    0 * one, 0 * one, one, 0 * one,
-                    jnp.full((1, LANES), cfg.e_lim + 1, jnp.int32),
-                    0 * one,
+                    zf1, zero1, zero1, one1, zero1, mctx1, zero1,
                 )
                 nsteps = 1 if "decis1" in ablate else cfg.max_bins_per_symbol
                 for _d in range(nsteps):
@@ -644,11 +645,9 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
                 (pa, pb, low, rng, dpos, _wbase, _wind, phase, value,
                  _e, _ectx, _mrem, _mctx, errv) = dstate
 
+                # sticky error: accumulate in a register, flush per chunk
                 errv = errv | (phase != _DONE).astype(jnp.int32)
-
-                @pl.when(sym0 + j < n_sym)
-                def _():
-                    err_ref[0:1, :] = err_ref[0:1, :] | errv
+                erracc = jnp.where(sym0 + j < n_sym, erracc | errv, erracc)
 
                 diff = jnp.where(neg, -value, value)
                 recons.append(predict + diff)
@@ -656,11 +655,11 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
             blk = jnp.concatenate(recons, axis=0)
             lines_ref[pl.ds(cur + off0, 8), :] = blk
             planes_ref[pl.ds(m * 8, 8), :] = blk
-            return low, rng, dpos, pa, pb
+            return low, rng, dpos, pa, pb, erracc
 
         init = (state_ref[0:1, :], state_ref[1:2, :], state_ref[2:3, :],
-                pend_ref[0:1, :], pend_ref[1:2, :])
-        low, rng, dpos, pa, pb = jax.lax.fori_loop(
+                pend_ref[0:1, :], pend_ref[1:2, :], zero1)
+        low, rng, dpos, pa, pb, erracc = jax.lax.fori_loop(
             0, SYMCHUNK // 8, block_body, init
         )
         state_ref[0:1, :] = low
@@ -668,6 +667,7 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
         state_ref[2:3, :] = dpos
         pend_ref[0:1, :] = pa
         pend_ref[1:2, :] = pb
+        err_ref[0:1, :] = err_ref[0:1, :] | erracc
 
     return kernel
 

@@ -169,9 +169,13 @@ def build_stream(hash_g: jnp.ndarray, diff_g: jnp.ndarray, n_sym: int,
 
 def _make_symwalk_kernel(K: int):
     def kernel(xs_ref, prob_tab, ns0_tab, ns1_tab, out_ref, lo_s, hi_s):
-        """xs: (origsym << 14 | valid << 13 | seg << 12 | diff+1274), sorted
-        by (hash, position) along the symbol axis (|diff| <= 1274, SURVEY
-        §2.4, so the residual field needs exactly 12 bits)."""
+        """xs: (live << 13 | seg << 12 | diff+1274), sorted by (hash,
+        position) along the symbol axis (|diff| <= 1274, SURVEY §2.4, so the
+        residual field needs exactly 12 bits).  Emits PAIR-packed coder
+        records (rec_{2m+1} << 10 | rec_{2m}, rec = valid<<9|bit<<8|prob,
+        invalid slots 0): positions never enter the kernel — the compacting
+        sort key is assembled outside from the sorted symbol positions —
+        and the output array is half the size of one-record-per-slot."""
         tchunk = pl.program_id(1)
 
         @pl.when(tchunk == 0)
@@ -189,7 +193,6 @@ def _make_symwalk_kernel(K: int):
             d = (x & 0xFFF) - 1274
             seg = (x & (1 << 12)) != 0
             live = (x & (1 << 13)) != 0
-            origsym = x >> 14
             # fresh context: reset the whole 8-substate row
             lo = jnp.where(seg, 0, lo)
             hi = jnp.where(seg, 0, hi)
@@ -200,6 +203,7 @@ def _make_symwalk_kernel(K: int):
                 e = e + ((ad >> jj) > 0).astype(jnp.int32)
             nz = ad != 0
 
+            rec_even = None
             for k in range(K):
                 in_exp = (k >= 1) & (k <= e)
                 is_stop = k == e + 1
@@ -230,12 +234,15 @@ def _make_symwalk_kernel(K: int):
                 lo = jnp.where(valid & (ctx < 4), upd, lo)
                 hi = jnp.where(valid & (ctx >= 4), upd, hi)
 
-                kp = jnp.where(
-                    valid,
-                    (((origsym * K + k) << 10) | (1 << 9) | (bit << 8) | prob),
-                    jnp.int32(0x7FFFFFFF),
+                rec = jnp.where(
+                    valid, (1 << 9) | (bit << 8) | prob, 0
                 )
-                out_ref[0, j * K + k] = kp
+                if k % 2 == 0:
+                    rec_even = rec
+                else:
+                    out_ref[0, j * (K // 2) + k // 2] = (
+                        rec_even | (rec << 10)
+                    )
             return lo, hi
 
         lo, hi = jax.lax.fori_loop(0, SYMCHUNK, sym_step, (lo_s[:], hi_s[:]))
@@ -250,8 +257,9 @@ SYMCHUNK = 32             # symbols per walk grid step
 
 @functools.partial(jax.jit, static_argnames=("K",))
 def walk_symbols(xs: jnp.ndarray, K: int = 24) -> jnp.ndarray:
-    """Sorted symbols [G, n_sym_pad, 8, 128] -> packed coder slots
-    [G, n_sym_pad*K, 8, 128] i32 ready for the compacting back sort."""
+    """Sorted symbols [G, n_sym_pad, 8, 128] -> pair-packed coder records
+    [G, n_sym_pad*K/2, 8, 128] i32 (two 10-bit records per word) for the
+    compacting back sort (encode._stage_compact)."""
     G, n_pad = xs.shape[0], xs.shape[1]
     assert n_pad % SYMCHUNK == 0, n_pad
     assert K % 4 == 0, K  # quad-packed compact sort granularity
@@ -269,10 +277,12 @@ def walk_symbols(xs: jnp.ndarray, K: int = 24) -> jnp.ndarray:
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, SYMCHUNK * K, SUBS, LANES), lambda g, c: (g, c, 0, 0),
+            (1, SYMCHUNK * K // 2, SUBS, LANES), lambda g, c: (g, c, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((G, n_pad * K, SUBS, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(
+            (G, n_pad * K // 2, SUBS, LANES), jnp.int32
+        ),
         scratch_shapes=[pltpu.VMEM((SUBS, LANES), jnp.int32)] * 2,
         interpret=_use_interpret(),
     )(

@@ -1,5 +1,8 @@
 """Timing ablation for the Pallas decode kernel on real TPU hardware.
 
+argv[1]: comma-separated ablation variants ("baseline" for none).
+argv[2]: lane count S (default 256; 128 lanes = one kernel group).
+
 Splits per-symbol cost into (a) the per-lane staging loops (model row pair
 in/out + byte window) and (b) the 24-step decision machine, by compiling
 bit-INEXACT kernel variants that skip one or the other.  Timing only —
@@ -8,6 +11,7 @@ never use the ablated outputs.
 Usage: python tools/probe_decode_ablate.py
 """
 import functools
+import sys
 import time
 
 import numpy as np
@@ -18,7 +22,7 @@ from llcomp_tpu import encode as jenc
 from llcomp_tpu.core.config import REV2
 from llcomp_tpu.pallas import decode_kernel as dk
 
-H, W, C, S = 8, 512, 3, 256
+H, W, C, S = 8, 512, 3, int(sys.argv[2]) if len(sys.argv) > 2 else 256
 print("backend:", jax.default_backend(), flush=True)
 
 rng = np.random.default_rng(11)
@@ -40,8 +44,6 @@ def fresh_data(tag):
         )
     return jnp.asarray(data)
 
-
-import sys
 
 VARIANTS = sys.argv[1].split(",") if len(sys.argv) > 1 else [
     "", "nostagein", "nostageout", "decis1"
