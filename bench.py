@@ -54,26 +54,27 @@ def make_photo(h, w, c=3, seed=42, noise=3):
 
 def main() -> int:
     H = W = int(os.environ.get("BENCH_SIZE", "512"))
+    CH = int(os.environ.get("BENCH_CHANNELS", "3"))
     n_images = int(os.environ.get("BENCH_IMAGES", "16"))
     slice_h = int(os.environ.get("BENCH_SLICE_H", "8"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     on_tpu = jax.default_backend() == "tpu"
     engine = os.environ.get("BENCH_ENGINE", "pallas" if on_tpu else "xla")
 
-    imgs = [make_photo(H, W, seed=100 + i) for i in range(n_images)]
+    imgs = [make_photo(H, W, c=CH, seed=100 + i) for i in range(n_images)]
     lanes = np.concatenate(
-        [img.reshape(H // slice_h, slice_h, W, 3) for img in imgs]
+        [img.reshape(H // slice_h, slice_h, W, CH) for img in imgs]
     )
     S = lanes.shape[0]
-    n_sym = slice_h * W * 3
+    n_sym = slice_h * W * CH
     mp_total = n_images * H * W / 1e6
 
     # NOTE on methodology: this backend elides re-execution for repeated
     # identical inputs, so every timed repetition uses a FRESH batch.
     def fresh_batch(tag):
         return np.concatenate(
-            [make_photo(H, W, seed=5000 + tag * 97 + i).reshape(
-                H // slice_h, slice_h, W, 3) for i in range(n_images)]
+            [make_photo(H, W, c=CH, seed=5000 + tag * 97 + i).reshape(
+                H // slice_h, slice_h, W, CH) for i in range(n_images)]
         )
 
     if engine == "pallas":
@@ -116,13 +117,17 @@ def main() -> int:
 
     comp_bytes = sum(len(b) for b in streams)
     result = {
-        "metric": "encode_mps_512",
+        "metric": (f"encode_mps_{H}" if CH == 3
+                   else f"encode_mps_{H}x{CH}"),
         "value": round(headline, 3),
         "unit": "MP/s",
-        "vs_baseline": round(headline / 4.0, 3),
+        # single-core reference encode MP/s per config (BASELINE.md)
+        "vs_baseline": round(headline / {
+            (512, 3): 4.0, (2048, 3): 3.8, (1024, 3): 4.1, (256, 4): 2.5,
+        }.get((H, CH), 4.0), 3),
         "encode_mps_single_batch": round(mp_total / enc_single_s, 3),
         "encode_mps_sustained": round(sustained, 3) if sustained else None,
-        "compression_ratio": round(n_images * H * W * 3 / comp_bytes, 3),
+        "compression_ratio": round(n_images * H * W * CH / comp_bytes, 3),
         "lanes": S,
         "images": n_images,
         "slice_h": slice_h,
@@ -135,12 +140,13 @@ def main() -> int:
     try:
         from llcomp_tpu import host
 
-        nimgs = np.stack([make_photo(H, W, seed=7000 + i) for i in range(4)])
+        nimgs = np.stack([make_photo(H, W, c=CH, seed=7000 + i)
+                          for i in range(4)])
         t0 = time.time()
         nstreams = host.encode_images(nimgs)
         n_enc = time.time() - t0
         t0 = time.time()
-        nout = host.decode_streams(nstreams, (H, W, 3))
+        nout = host.decode_streams(nstreams, (H, W, CH))
         n_dec = time.time() - t0
         if np.array_equal(nout, nimgs):
             result["native_encode_mps"] = round(4 * H * W / 1e6 / n_enc, 3)
@@ -162,7 +168,7 @@ def main() -> int:
         )
         try:
             t0 = time.time()
-            out_lanes = jdec.decode_lanes(streams, (slice_h, W, 3),
+            out_lanes = jdec.decode_lanes(streams, (slice_h, W, CH),
                                           engine=dec_engine)
             dec_total = time.time() - t0
             ok = np.array_equal(out_lanes, lanes)
@@ -171,7 +177,7 @@ def main() -> int:
                 fbd = fresh_batch(900 + r)
                 std = jenc.encode_lanes(fbd, engine=engine)
                 t0 = time.time()
-                outd = jdec.decode_lanes(std, (slice_h, W, 3),
+                outd = jdec.decode_lanes(std, (slice_h, W, CH),
                                          engine=dec_engine)
                 dec_times.append(time.time() - t0)
                 ok = ok and np.array_equal(outd, fbd)
@@ -187,6 +193,10 @@ def main() -> int:
             result["decode_error"] = str(e)[:200]
             result["vs_baseline"] = 0.0
 
+    if os.environ.get("LLCT_PROFILE") == "1":
+        from llcomp_tpu import profiling
+
+        result["stage_profile"] = profiling.stages.report()
     print(json.dumps(result))
     return 0
 

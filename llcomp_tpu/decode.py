@@ -38,6 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import profiling
 from .core import transform
 from .core.config import REV2, CodecConfig
 
@@ -609,15 +610,21 @@ def _decode_lanes_pallas(
         data[s // dk.LANES, : len(blob), s % dk.LANES] = np.frombuffer(
             blob, dtype=np.uint8
         )
-    # one pallas call per 128-lane group, all dispatched before any sync:
-    # group g+1's kernel runs while group g's u8 images stream back
+    # one pallas call per superblock of <= 8 groups (the kernel packs the
+    # groups into vreg sublanes — see decode_kernel._pick_nsub), all
+    # dispatched before any sync so later kernels overlap earlier
+    # superblocks' u8 image downloads
+    step = dk._pick_nsub(G, cap)
     inflight = [
-        dk.decode_groups_images(jnp.asarray(data[g : g + 1]), H, W, C, cfg)
-        for g in range(G)
+        profiling.timed(
+            "decode/pallas_kernel", dk.decode_groups_images,
+            jnp.asarray(data[g : g + step]), H, W, C, cfg
+        )
+        for g in range(0, G, step)
     ]
     parts, lane_err = [], []
     for imgs, err in inflight:
-        parts.append(np.asarray(imgs))
+        parts.append(profiling.timed("decode/download", np.asarray, imgs))
         lane_err.append(np.asarray(err))
     lane_err = np.concatenate(lane_err)[:S]
     if lane_err.any():
@@ -633,19 +640,22 @@ def decode_lanes(
 ) -> np.ndarray:
     """Decode equal-geometry headerless streams -> images [S, H, W, C] u8.
 
-    engine: 'decision' (while_loop, per-lane pacing; the default),
-    'lockstep' (fixed 24-step inner loop), 'pallas' (experimental fused
-    kernel — bit-exact in interpret mode, but the current Mosaic release
-    rejects its per-lane scalar VMEM stores at compile time on real TPUs),
-    or 'auto'.
+    engine: 'pallas' (fused VMEM-resident kernel, default on TPU; bit-exact
+    on hardware since round 2 — see pallas/decode_kernel.py), 'decision'
+    (while_loop, per-lane pacing; the XLA default), 'lockstep' (fixed
+    24-step inner loop), 'rowbatch', or 'auto'.
     """
     H, W, C = shape
     S = len(streams)
     if engine == "auto":
-        # measured on the axon v5e backend: decision-outer ~0.29 MP/s beats
-        # rowbatch (XLA lowers its slice-gathers catastrophically) and the
-        # pallas kernel does not compile (scalar VMEM stores); see DESIGN.md
-        engine = "decision"
+        # measured on the axon v5e backend: the fused Pallas kernel decodes
+        # ~6x faster than the XLA decision-outer engine (docs/DESIGN.md);
+        # fall back to decision-outer off-TPU or for geometries the blocked
+        # kernel cannot take (it requires W*C % 8 == 0, C <= 8)
+        if jax.default_backend() == "tpu":
+            engine = "pallas"
+        else:
+            engine = "decision"
     if engine == "pallas":
         return _decode_lanes_pallas(streams, shape, cfg)
     # per-lane serialized gathers scale with lane count while while_loop

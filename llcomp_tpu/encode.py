@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import coder
+from . import coder, profiling
 from .core import transform
 from .core.config import REV2, CodecConfig
 
@@ -476,8 +476,11 @@ def _launch_stage_counts(imgs: np.ndarray, cfg: CodecConfig = REV2):
     multi-batch caller overlap every batch's count latency with the next
     batch's host grouping + upload."""
     H, W, C = imgs.shape[1], imgs.shape[2], imgs.shape[3]
-    imgs_g = jax.device_put(_group_host(imgs))
-    hash_g, diff_g, counts = _stage_precompute_g(imgs_g, H, W, C, cfg)
+    imgs_g = profiling.timed("encode/upload", jax.device_put,
+                             _group_host(imgs))
+    hash_g, diff_g, counts = profiling.timed(
+        "encode/precompute", _stage_precompute_g, imgs_g, H, W, C, cfg
+    )
     return (imgs, hash_g, diff_g, counts, cfg)
 
 
@@ -525,18 +528,24 @@ def _launch_stage_rest(ctx, outcap: int, speculate: bool = True):
         # symbol-granular context sort: n_sym i64 elements/lane instead of
         # n_sym*K; the walk kernel regenerates decisions and emits the
         # compacting back sort's operand directly (docs/DESIGN.md)
-        xs_sym, origsym = _stage_sym_sort(hash_g, diff_g, n_sym)
-        kpp = pk.walk_symbols(xs_sym, K)
-        coder_xs = _stage_compact(kpp, origsym, K,
-                                  min(T, Tq_req * 4) // 4)
+        xs_sym, origsym = profiling.timed(
+            "encode/sym_sort", _stage_sym_sort, hash_g, diff_g, n_sym
+        )
+        kpp = profiling.timed("encode/walk", pk.walk_symbols, xs_sym, K)
+        coder_xs = profiling.timed(
+            "encode/compact_sort", _stage_compact, kpp, origsym, K,
+            min(T, Tq_req * 4) // 4
+        )
     else:
         stream_g = pk.build_stream(hash_g, diff_g, n_sym, K)
         skey, spay = _stage_fwd_sort(stream_g)
         skey, spay = skey[:, :Tc], spay[:, :Tc]
         probs_g = pk.walk_probs(_stage_walk_xs(skey, spay))
         coder_xs = _stage_back_sort(skey, spay, probs_g)
-    kp_g, fin = pk.coder_scan_off(coder_xs)
-    byts, lens = _stage_expand_fused(kp_g, fin, outcap)
+    kp_g, fin = profiling.timed("encode/coder", pk.coder_scan_off, coder_xs)
+    byts, lens = profiling.timed(
+        "encode/byte_expand", _stage_expand_fused, kp_g, fin, outcap
+    )
 
     def check() -> bool:
         sm = int(sym_max)

@@ -393,78 +393,129 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
 
 
 def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
-                         ablate: str = ""):
-    """Hardware kernel, 8-symbol blocks (requires stride % 8 == 0, C <= 8).
+                         NSUB: int, interpret: bool, ablate: str = ""):
+    """Hardware kernel: 8-symbol blocks x NSUB lane-groups per instance
+    (requires stride % 8 == 0, C <= 8).
 
-    The ablation probe (tools/probe_decode_ablate.py) showed ~half the
-    per-symbol cost is *fixed* overhead: six (1,128) dynamic neighbor line
-    loads, per-symbol scalar index math and loop bookkeeping.  This variant
-    amortizes all of it over 8-symbol blocks that never straddle a pixel
-    row (stride % 8 == 0 guarantees that):
+    Two structural amortizations over the naive per-symbol kernel:
 
-    * neighbor windows stage once per block as three dynamic row loads —
-      cur (16,128) / up (24,128) / upup (8,128) — and every in-block read
-      becomes a STATIC sublane slice; pixels decoded within the block are
-      forwarded through registers instead of re-read from the ring;
-    * the ring and the planes output are written once per block as aligned
-      (8,128) tiles;
-    * the model write-back is deferred one symbol and merged with the next
-      symbol's stage-in, so each symbol runs ONE 128-lane staging loop with
-      packed (2,128) row-pair accesses (write prev pair, read cur pair,
-      read byte window) instead of separate in/out loops;
-    * per-symbol scalar math on (h, w, offsets) reduces to a handful of
-      block-level scalars plus static per-slot constants.
+    **8-symbol blocks** (blocks never straddle a pixel row): neighbor
+    windows stage once per block as three dynamic row loads and every
+    in-block read becomes a STATIC slice; in-block pixels forward through
+    registers; ring + planes output written as aligned tiles; the model
+    write-back is deferred one symbol and merged with the next symbol's
+    stage-in (double-parity SMEM slots).
 
-    The lines scratch is padded by 16 rows on both ends so window bases
-    never need clamping (reads outside the current row are masked by the
-    same edge predicates the reference uses).  Bitstream semantics are
-    identical to ``_make_kernel`` (decoder loop `llcomp.hpp:486-545`).
+    **NSUB-wide vectorization**: a (1,128) op occupies a full (8,128) vreg
+    with 7 sublanes masked, so the whole decision machine runs NSUB
+    lane-groups (NSUB*128 streams) in the sublane dimension at roughly the
+    instruction cost of one.  Per-group state lives at sublane g:
+
+    * model: one [NSUB*NS4, 128] scratch, group g's rows at g*NS4 (the
+      bridged row index has the offset baked in);
+    * ring lines: group-interleaved rows (pixel offset p, group g) ->
+      row p*NSUB+g, so ONE dynamic load yields an (NSUB,128) neighbor
+      value and block stores are contiguous (8*NSUB,128) tiles;
+    * byte data: groups concatenated along rows (group g's words at
+      g*cap4), per-group (8,128) windows re-staged per symbol;
+    * the scalar DMA bridge ships all groups' (model row, window base)
+      in one (2*NSUB,128) VMEM->SMEM copy per symbol;
+    * the per-decision byte fetch is the only NSUB-replicated vector op
+      (sublane dynamic_gather only takes (8,128) operands).
+
+    The merged 128-iteration staging loop does NSUB row-pair RMWs + reads
+    per lane — per-(group,lane) work is unavoidable (the model addresses
+    are data-dependent and distinct), but everything else in the kernel
+    amortizes across groups.  Under ``interpret`` the staging loops are
+    replaced by vectorized gathers/scatters with identical semantics and
+    immediate (not deferred) write-back; the decision machine — where
+    semantic bugs live — is byte-identical between the two paths.
+    Bitstream semantics are the reference's (decoder loop
+    `llcomp.hpp:486-545`).
     """
     stride = W * C
     n_sym = H * W * C
     nwords = cap // 4
+    cap4 = cap // 4
     assert stride % 8 == 0 and C <= 8 and SYMCHUNK % 8 == 0
+    assert 1 <= NSUB <= 8
     LPAD = 16                       # lines base pad (window underruns)
     TRASH = NS4 - 2                 # model row pair never read by decode
+    LROWS = 2 * LPAD + 3 * stride   # ring rows per group (pixel units)
 
-    def kernel(data_ref, ftab, q11lo, q11hi, q5lo, q5hi,
-               planes_ref, err_ref, model_ref, lines_ref, vscr_ref,
-               sscr_ref, pend_ref, state_ref, dma_sem):
+    def kernel(data_ref,            # [NSUB*cap4, 128] i32 (LE-packed bytes)
+               ftab, q11lo, q11hi, q5lo, q5hi,
+               planes_ref,          # [SYMCHUNK*NSUB, 128] i32 out
+               err_ref,             # [NSUB, 128] i32 out (sticky flags)
+               model_ref,           # [NSUB*NS4, 128] i32 scratch
+               lines_ref,           # [LROWS*NSUB, 128] i32 scratch
+               vscr_ref,            # [2*NSUB, 128] i32 scratch: DMA source
+               sscr_ref,            # [4*NSUB, 128] i32 SMEM: bridged scalars
+               pend_ref,            # [2*NSUB, 128] i32 scratch: pending pair
+               state_ref,           # [24, 128] i32 scratch: coder state
+               dma_sem):
         chunk = pl.program_id(1)
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
         lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
         lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 1)
+        subN = jax.lax.broadcasted_iota(jnp.int32, (NSUB, LANES), 0)
         ftab_v = ftab[:]
         q11lo_v = q11lo[:]
         q11hi_v = q11hi[:]
         q5lo_v = q5lo[:]
         q5hi_v = q5hi[:]
 
+        def lutN(table_block, idx):
+            """(NSUB,128) 128-entry lookup: one full-vreg dynamic_gather."""
+            if NSUB == 8:
+                return jnp.take_along_axis(table_block, idx, axis=1)
+            idx8 = jnp.concatenate(
+                [idx, jnp.zeros((8 - NSUB, LANES), jnp.int32)], axis=0
+            )
+            return jnp.take_along_axis(table_block, idx8, axis=1)[:NSUB]
+
+        def quantN(lo_tab, hi_tab, d):
+            idx = jnp.clip(d, -128, 127) & 0xFF
+            return jnp.where(
+                idx < 128, lutN(lo_tab, idx),
+                lutN(hi_tab, jnp.maximum(idx - 128, 0))
+            )
+
         @pl.when(chunk == 0)
         def _init():
-            model_ref[:] = jnp.zeros((NS4, LANES), jnp.int32)
-            lines_ref[:] = jnp.zeros((2 * LPAD + 3 * stride, LANES), jnp.int32)
-            err_ref[:] = jnp.zeros((8, LANES), jnp.int32)
-            pend_ref[:] = jnp.zeros((2, LANES), jnp.int32)
-            w0 = data_ref[0:1, :]
+            model_ref[:] = jnp.zeros((NSUB * NS4, LANES), jnp.int32)
+            lines_ref[:] = jnp.zeros((LROWS * NSUB, LANES), jnp.int32)
+            err_ref[:] = jnp.zeros((NSUB, LANES), jnp.int32)
+            pend_ref[:] = jnp.zeros((2 * NSUB, LANES), jnp.int32)
+            w0 = jnp.concatenate(
+                [data_ref[g * cap4 : g * cap4 + 1, :] for g in range(NSUB)],
+                axis=0,
+            )
             b0 = w0 & 0xFF
             b1 = (w0 >> 8) & 0xFF
-            # rows of state_ref: 0=low 1=range 2=dpos
-            state_ref[0:1, :] = (b0 << 8) | b1
-            state_ref[1:2, :] = jnp.full((1, LANES), 0xFF00, jnp.int32)
-            state_ref[2:3, :] = jnp.full((1, LANES), 2, jnp.int32)
-            state_ref[3:8, :] = jnp.zeros((5, LANES), jnp.int32)
-            # seed the deferred write-back: a zero pair aimed at the trash
-            # row, and make the j=7 parity slot's base point there too
-            vscr_ref[0:1, :] = jnp.full((1, LANES), TRASH, jnp.int32)
-            vscr_ref[1:2, :] = jnp.zeros((1, LANES), jnp.int32)
-            cp = pltpu.make_async_copy(vscr_ref, sscr_ref.at[pl.ds(2, 2)],
-                                       dma_sem)
+            # state_ref rows [0:N]=low [8:8+N]=range [16:16+N]=dpos
+            state_ref[:] = jnp.zeros((24, LANES), jnp.int32)
+            state_ref[0:NSUB, :] = (b0 << 8) | b1
+            state_ref[8 : 8 + NSUB, :] = jnp.full(
+                (NSUB, LANES), 0xFF00, jnp.int32
+            )
+            state_ref[16 : 16 + NSUB, :] = jnp.full(
+                (NSUB, LANES), 2, jnp.int32
+            )
+            # seed the deferred write-back: a zero pair aimed at each
+            # group's trash row, parked in the j=0 parity slot
+            vscr_ref[0:NSUB, :] = subN * NS4 + TRASH
+            vscr_ref[NSUB : 2 * NSUB, :] = jnp.zeros(
+                (NSUB, LANES), jnp.int32
+            )
+            cp = pltpu.make_async_copy(
+                vscr_ref, sscr_ref.at[pl.ds(2 * NSUB, 2 * NSUB)], dma_sem
+            )
             cp.start()
             cp.wait()
 
-        def decision(dstate):
-            (wa, wb, low, rng, dpos, wbase, wind, phase, value, e, ectx,
+        def decision(dstate, winds):
+            (wa, wb, low, rng, dpos, wbase, phase, value, e, ectx,
              mrem, mctx, errv) = dstate
             act = phase != _DONE
             ctx = jnp.where(phase == _EXP,
@@ -476,7 +527,7 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
             sh = (ctx & 3) * 8
             mword = jnp.where(ctx < 4, wa, wb)
             st8 = jax.lax.shift_right_logical(mword, sh) & 0xFF
-            f = _lut(ftab_v, st8)
+            f = lutN(ftab_v, st8)
             prob = f & 0xFF
             range1 = (rng * prob) >> 8
             rng0 = rng - range1
@@ -485,10 +536,14 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
             rng = jnp.where(act, jnp.where(bit, range1, rng0), rng)
             refl = act & (rng < 0x100)
             widx = dpos - wbase
-            word = _sublane_gather(
-                wind,
-                jnp.minimum(jax.lax.shift_right_logical(widx, 2), 7),
-            )
+            wsel = jnp.minimum(jax.lax.shift_right_logical(widx, 2), 7)
+            rows = []
+            for g in range(NSUB):
+                idx8 = jnp.broadcast_to(wsel[g : g + 1, :], (8, LANES))
+                rows.append(
+                    jnp.take_along_axis(winds[g], idx8, axis=0)[0:1, :]
+                )
+            word = rows[0] if NSUB == 1 else jnp.concatenate(rows, axis=0)
             byte = (word >> ((widx & 3) * 8)) & 0xFF
             byte = jnp.where(widx < 32, byte, 0)
             low = jnp.where(refl, (low << 8) | byte, low)
@@ -523,13 +578,16 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
                                jnp.where(e2 > 0, _MANT, _SIGN), nphase)
             nphase = jnp.where(last_mant, _SIGN, nphase)
             nphase = jnp.where(is_sign, _DONE, nphase)
-            return (wa, wb, low, rng, dpos, wbase, wind, nphase, value,
+            return (wa, wb, low, rng, dpos, wbase, nphase, value,
                     e2, ectx, mrem, mctx, errv)
 
-        zero1 = jnp.zeros((1, LANES), jnp.int32)
-        one1 = jnp.ones((1, LANES), jnp.int32)
-        zf1 = jnp.full((1, LANES), _ZF, jnp.int32)
-        mctx1 = jnp.full((1, LANES), cfg.e_lim + 1, jnp.int32)
+        zeroN = jnp.zeros((NSUB, LANES), jnp.int32)
+        oneN = jnp.ones((NSUB, LANES), jnp.int32)
+        zfN = jnp.full((NSUB, LANES), _ZF, jnp.int32)
+        mctxN = jnp.full((NSUB, LANES), cfg.e_lim + 1, jnp.int32)
+        z1 = jnp.zeros((1, LANES), jnp.int32)
+        z8 = jnp.zeros((8, LANES), jnp.int32)
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
 
         def block_body(m, carry):
             low, rng, dpos, pa, pb, erracc = carry
@@ -540,10 +598,18 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
             up = LPAD + ((h + 2) % 3) * stride
             upup = LPAD + ((h + 1) % 3) * stride
 
-            # ---- block neighbor windows (3 dynamic loads / 8 symbols) --
-            cur_win = lines_ref[pl.ds(cur + off0 - 16, 16), :]
-            up_win = lines_ref[pl.ds(up + off0 - 8, 24), :]
-            upup_win = lines_ref[pl.ds(upup + off0, 8), :]
+            # ---- block neighbor windows (3 dynamic loads / 8 symbols);
+            # group-interleaved rows make each an all-groups load --------
+            cur_win = lines_ref[pl.ds((cur + off0 - 16) * NSUB, 16 * NSUB), :]
+            up_win = lines_ref[pl.ds((up + off0 - 8) * NSUB, 24 * NSUB), :]
+            upup_win = lines_ref[pl.ds((upup + off0) * NSUB, 8 * NSUB), :]
+
+            def cw(q):     # cur_win pixel q in [-16, 0)
+                return cur_win[(16 + q) * NSUB : (17 + q) * NSUB, :]
+
+            def uw(q):     # up_win pixel q in [-8, 16)
+                return up_win[(8 + q) * NSUB : (9 + q) * NSUB, :]
+
             h_pos = h > 0
             h_pos2 = h > 1
 
@@ -554,20 +620,17 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
                 w_pos2 = off_j >= 2 * C       # w > 1
                 w_last = off_j >= stride - C  # w == W-1
 
-                l_raw = (recons[j - C] if j - C >= 0
-                         else cur_win[16 + j - C: 17 + j - C, :])
-                L_raw = (recons[j - 2 * C] if j - 2 * C >= 0
-                         else cur_win[16 + j - 2 * C: 17 + j - 2 * C, :])
-                up_x = up_win[8 + j: 9 + j, :]
+                l_raw = recons[j - C] if j - C >= 0 else cw(j - C)
+                L_raw = recons[j - 2 * C] if j - 2 * C >= 0 else cw(j - 2 * C)
+                up_x = uw(j)
                 l_ = jnp.where(w_pos, l_raw,
                                jnp.where(h_pos, up_x, 128))
                 t_ = jnp.where(h_pos, up_x, l_)
                 L_ = jnp.where(w_pos2, L_raw, l_)
-                tl = jnp.where(h_pos & w_pos,
-                               up_win[8 + j - C: 9 + j - C, :], t_)
-                tr = jnp.where(h_pos & ~w_last,
-                               up_win[8 + j + C: 9 + j + C, :], t_)
-                T_ = jnp.where(h_pos2, upup_win[j: j + 1, :], t_)
+                tl = jnp.where(h_pos & w_pos, uw(j - C), t_)
+                tr = jnp.where(h_pos & ~w_last, uw(j + C), t_)
+                T_ = jnp.where(h_pos2,
+                               upup_win[j * NSUB : (j + 1) * NSUB, :], t_)
 
                 if "nohash" in ablate:
                     # timing ablation only (bit-INEXACT)
@@ -575,11 +638,11 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
                     predict = t_ - t_
                 else:
                     hsh = (
-                        _quant(q11lo_v, q11hi_v, l_ - tl)
-                        + _quant(q11lo_v, q11hi_v, tl - t_) * 11
-                        + _quant(q11lo_v, q11hi_v, t_ - tr) * 121
-                        + _quant(q5lo_v, q5hi_v, L_ - l_) * 605
-                        + _quant(q5lo_v, q5hi_v, T_ - t_) * 3025
+                        quantN(q11lo_v, q11hi_v, l_ - tl)
+                        + quantN(q11lo_v, q11hi_v, tl - t_) * 11
+                        + quantN(q11lo_v, q11hi_v, t_ - tr) * 121
+                        + quantN(q5lo_v, q5hi_v, L_ - l_) * 605
+                        + quantN(q5lo_v, q5hi_v, T_ - t_) * 3025
                     )
                     predict = jnp.clip(
                         l_ + t_ - tl, jnp.minimum(l_, t_), jnp.maximum(l_, t_)
@@ -587,63 +650,111 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
                 neg = hsh < 0
                 base2 = jnp.where(neg, -hsh, hsh) * 2
 
-                # ---- bridge scalars; parity slot is static (j & 1) -----
+                # ---- bridge per-lane scalars (all groups, one DMA);
+                # parity slot is static (j & 1) ---------------------------
+                mrow = base2 + subN * NS4
                 w4 = jnp.clip(jax.lax.shift_right_logical(dpos, 2),
                               0, nwords - 8)
-                slot = (j & 1) * 2
-                pslot = ((j + 1) & 1) * 2
-                if "nodma" not in ablate:
-                    vscr_ref[0:1, :] = base2
-                    vscr_ref[1:2, :] = w4
+                brow = w4 + subN * cap4
+                slot = (j & 1) * 2 * NSUB
+                pslot = ((j + 1) & 1) * 2 * NSUB
+                if "nodma" not in ablate and not interpret:
+                    vscr_ref[0:NSUB, :] = mrow
+                    vscr_ref[NSUB : 2 * NSUB, :] = brow
                     cp = pltpu.make_async_copy(
-                        vscr_ref, sscr_ref.at[pl.ds(slot, 2)], dma_sem
+                        vscr_ref, sscr_ref.at[pl.ds(slot, 2 * NSUB)], dma_sem
                     )
                     cp.start()
                     cp.wait()
 
                 # ---- ONE merged staging loop: write-back prev symbol's
-                # pair, read this symbol's pair + byte window -------------
-                pend = jnp.concatenate([pa, pb], axis=0)
+                # pairs, read this symbol's pairs + byte windows ----------
+                pend_gs = [
+                    jnp.concatenate([pa[g : g + 1, :], pb[g : g + 1, :]],
+                                    axis=0)
+                    for g in range(NSUB)
+                ]
 
                 def stage(l, acc):
-                    pair, wind = acc
-                    rp = sscr_ref[pslot, l]
-                    rc = sscr_ref[slot, l]
-                    b = sscr_ref[slot + 1, l]
-                    old = model_ref[pl.ds(rp, 2), :]
-                    model_ref[pl.ds(rp, 2), :] = jnp.where(
-                        lane2 == l, pend, old
-                    )
-                    pair = jnp.where(
-                        lane2 == l, model_ref[pl.ds(rc, 2), :], pair
-                    )
-                    wind = jnp.where(lane8 == l, data_ref[pl.ds(b, 8), :],
-                                     wind)
-                    return pair, wind
+                    was, wbs, winds = acc
+                    was, wbs, winds = list(was), list(wbs), list(winds)
+                    lm1 = lane1 == l
+                    lm2 = lane2 == l
+                    lm8 = lane8 == l
+                    for g in range(NSUB):
+                        rp = sscr_ref[pslot + g, l]
+                        rc = sscr_ref[slot + g, l]
+                        b = sscr_ref[slot + NSUB + g, l]
+                        old = model_ref[pl.ds(rp, 2), :]
+                        model_ref[pl.ds(rp, 2), :] = jnp.where(
+                            lm2, pend_gs[g], old
+                        )
+                        pair = model_ref[pl.ds(rc, 2), :]
+                        was[g] = jnp.where(lm1, pair[0:1, :], was[g])
+                        wbs[g] = jnp.where(lm1, pair[1:2, :], wbs[g])
+                        winds[g] = jnp.where(
+                            lm8, data_ref[pl.ds(b, 8), :], winds[g]
+                        )
+                    return tuple(was), tuple(wbs), tuple(winds)
 
-                if "nostage" in ablate or "nodma" in ablate:
+                if interpret:
+                    # vectorized staging; write-back is immediate (after
+                    # the decision loop below) instead of deferred — the
+                    # deferred write always lands before the next read of
+                    # the same row, so the visible state is identical
+                    mdl = model_ref[:]
+                    wa = jnp.take_along_axis(mdl, mrow, axis=0)
+                    wb = jnp.take_along_axis(mdl, mrow + 1, axis=0)
+                    dat = data_ref[:]
+                    winds = [
+                        jnp.take_along_axis(
+                            dat,
+                            jnp.broadcast_to(brow[g : g + 1, :], (8, LANES))
+                            + sub8,
+                            axis=0,
+                        )
+                        for g in range(NSUB)
+                    ]
+                elif "nostage" in ablate or "nodma" in ablate:
                     # timing ablation only (bit-INEXACT)
-                    pair = jnp.zeros((2, LANES), jnp.int32)
-                    wind = jnp.zeros((8, LANES), jnp.int32)
+                    wa, wb = zeroN, zeroN
+                    winds = [z8] * NSUB
                 else:
-                    pair, wind = jax.lax.fori_loop(
+                    was, wbs, winds = jax.lax.fori_loop(
                         0, LANES, stage,
-                        (jnp.zeros((2, LANES), jnp.int32),
-                         jnp.zeros((8, LANES), jnp.int32)),
+                        (tuple([z1] * NSUB), tuple([z1] * NSUB),
+                         tuple([z8] * NSUB)),
                     )
-                wa = pair[0:1, :]
-                wb = pair[1:2, :]
+                    wa = (was[0] if NSUB == 1
+                          else jnp.concatenate(was, axis=0))
+                    wb = (wbs[0] if NSUB == 1
+                          else jnp.concatenate(wbs, axis=0))
                 wbase = w4 * 4
 
                 dstate = (
-                    wa, wb, low, rng, dpos, wbase, wind,
-                    zf1, zero1, zero1, one1, zero1, mctx1, zero1,
+                    wa, wb, low, rng, dpos, wbase,
+                    zfN, zeroN, zeroN, oneN, zeroN, mctxN, zeroN,
                 )
                 nsteps = 1 if "decis1" in ablate else cfg.max_bins_per_symbol
-                for _d in range(nsteps):
-                    dstate = decision(dstate)
-                (pa, pb, low, rng, dpos, _wbase, _wind, phase, value,
+                if interpret:
+                    # rolled: XLA:CPU cannot compile the unrolled graph
+                    def dbody(_d, ds):
+                        return decision(ds, winds)
+
+                    dstate = jax.lax.fori_loop(0, nsteps, dbody, dstate)
+                else:
+                    for _d in range(nsteps):
+                        dstate = decision(dstate, winds)
+                (pa, pb, low, rng, dpos, _wbase, phase, value,
                  _e, _ectx, _mrem, _mctx, errv) = dstate
+
+                if interpret:
+                    mdl = model_ref[:]
+                    lidx = jnp.arange(LANES)
+                    for g in range(NSUB):
+                        mdl = mdl.at[mrow[g, :], lidx].set(pa[g, :])
+                        mdl = mdl.at[mrow[g, :] + 1, lidx].set(pb[g, :])
+                    model_ref[:] = mdl
 
                 # sticky error: accumulate in a register, flush per chunk
                 errv = errv | (phase != _DONE).astype(jnp.int32)
@@ -653,21 +764,22 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
                 recons.append(predict + diff)
 
             blk = jnp.concatenate(recons, axis=0)
-            lines_ref[pl.ds(cur + off0, 8), :] = blk
-            planes_ref[pl.ds(m * 8, 8), :] = blk
+            lines_ref[pl.ds((cur + off0) * NSUB, 8 * NSUB), :] = blk
+            planes_ref[pl.ds(m * 8 * NSUB, 8 * NSUB), :] = blk
             return low, rng, dpos, pa, pb, erracc
 
-        init = (state_ref[0:1, :], state_ref[1:2, :], state_ref[2:3, :],
-                pend_ref[0:1, :], pend_ref[1:2, :], zero1)
+        init = (state_ref[0:NSUB, :], state_ref[8 : 8 + NSUB, :],
+                state_ref[16 : 16 + NSUB, :], pend_ref[0:NSUB, :],
+                pend_ref[NSUB : 2 * NSUB, :], zeroN)
         low, rng, dpos, pa, pb, erracc = jax.lax.fori_loop(
             0, SYMCHUNK // 8, block_body, init
         )
-        state_ref[0:1, :] = low
-        state_ref[1:2, :] = rng
-        state_ref[2:3, :] = dpos
-        pend_ref[0:1, :] = pa
-        pend_ref[1:2, :] = pb
-        err_ref[0:1, :] = err_ref[0:1, :] | erracc
+        state_ref[0:NSUB, :] = low
+        state_ref[8 : 8 + NSUB, :] = rng
+        state_ref[16 : 16 + NSUB, :] = dpos
+        pend_ref[0:NSUB, :] = pa
+        pend_ref[NSUB : 2 * NSUB, :] = pb
+        err_ref[:, :] = err_ref[:, :] | erracc
 
     return kernel
 
@@ -708,11 +820,23 @@ def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
     return _decode_groups_impl(data, H, W, C, cfg, "")
 
 
+def _pick_nsub(G: int, cap: int) -> int:
+    """Lane-groups per kernel instance.  More groups amortize the decision
+    machine's vector instructions (sublane packing) but multiply the VMEM
+    model/ring/data footprint; 8 groups ~= 90-110 MB, near the v5e VMEM
+    limit, so very long streams (big cap) drop to 4."""
+    env = os.environ.get("LLCT_DECODE_NSUB")
+    if env:
+        return max(1, min(8, int(env), G))
+    return max(1, min(8 if cap <= 24576 else 4, G))
+
+
 def _decode_groups_impl(data, H, W, C, cfg, ablate):
     G, cap = data.shape[0], data.shape[1]
     n_sym = H * W * C
     n_chunks = -(-n_sym // SYMCHUNK)
     n_sym_pad = n_chunks * SYMCHUNK
+    cap4 = cap // 4
 
     # pack bytes little-endian into words for dynamic-row window staging
     d32 = (
@@ -729,29 +853,79 @@ def _decode_groups_impl(data, H, W, C, cfg, ablate):
     blocked = (stride % 8 == 0 and C <= 8
                and (not interpret
                     or os.environ.get("LLCT_DECODE_FORCE_BLOCKED") == "1"))
-    if blocked:
-        kernel = _make_kernel_blocked(H, W, C, cap, cfg, ablate)
-        scratch = [
-            pltpu.VMEM((NS4, LANES), jnp.int32),
-            pltpu.VMEM((32 + 3 * stride, LANES), jnp.int32),
-            pltpu.VMEM((2, LANES), jnp.int32),
-            pltpu.SMEM((4, LANES), jnp.int32),
-            pltpu.VMEM((2, LANES), jnp.int32),     # pending model pair
-            pltpu.VMEM((8, LANES), jnp.int32),     # coder state
-            pltpu.SemaphoreType.DMA,
-        ]
-    else:
-        kernel = _make_kernel(H, W, C, cap, cfg, interpret, ablate)
-        scratch = [
-            pltpu.VMEM((NS4, LANES), jnp.int32),
-            pltpu.VMEM((3 * stride, LANES), jnp.int32),
-            pltpu.VMEM((2, LANES), jnp.int32),
-            pltpu.SMEM((2, LANES), jnp.int32),
-            pltpu.VMEM((8, LANES), jnp.int32),
-            pltpu.VMEM((8, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ]
     tabs = [_FUSED, _Q11_LO, _Q11_HI, _Q5_LO, _Q5_HI]
+    if blocked:
+        NSUB = _pick_nsub(G, cap)
+        G_out = -(-G // NSUB)
+        Gp = G_out * NSUB
+        if Gp != G:
+            d32 = jnp.concatenate(
+                [d32, jnp.zeros((Gp - G, cap4, LANES), jnp.int32)], axis=0
+            )
+        d32 = d32.reshape(G_out, NSUB * cap4, LANES)
+        kernel = _make_kernel_blocked(H, W, C, cap, cfg, NSUB, interpret,
+                                      ablate)
+        LROWS = 32 + 3 * stride
+        planes, err = pl.pallas_call(
+            kernel,
+            grid=(G_out, n_chunks),
+            in_specs=[
+                pl.BlockSpec((None, NSUB * cap4, LANES),
+                             lambda g, c: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec((8, LANES), lambda g, c: (0, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 5,
+            out_specs=(
+                pl.BlockSpec((None, SYMCHUNK * NSUB, LANES),
+                             lambda g, c: (g, c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, NSUB, LANES), lambda g, c: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((G_out, n_sym_pad * NSUB, LANES),
+                                     jnp.int32),
+                jax.ShapeDtypeStruct((G_out, NSUB, LANES), jnp.int32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((NSUB * NS4, LANES), jnp.int32),
+                pltpu.VMEM((LROWS * NSUB, LANES), jnp.int32),
+                pltpu.VMEM((2 * NSUB, LANES), jnp.int32),
+                pltpu.SMEM((4 * NSUB, LANES), jnp.int32),
+                pltpu.VMEM((2 * NSUB, LANES), jnp.int32),  # pending pairs
+                pltpu.VMEM((24, LANES), jnp.int32),        # coder state
+                pltpu.SemaphoreType.DMA,
+            ],
+            # the per-group model scratch alone is ~8.1 MB x NSUB; lift
+            # Mosaic's default 16 MB scoped-vmem budget to the chip limit
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(jnp.asarray(d32), *[jnp.asarray(t) for t in tabs])
+        # de-interleave: planes row (sym*NSUB + g) -> [group, sym]
+        planes = (
+            planes.reshape(G_out, n_sym_pad, NSUB, LANES)
+            .transpose(0, 2, 1, 3)
+            .reshape(Gp, n_sym_pad, LANES)[:G]
+        )
+        err = jnp.broadcast_to(
+            err.reshape(Gp, 1, LANES)[:G], (G, 8, LANES)
+        )
+        return planes, err
+
+    kernel = _make_kernel(H, W, C, cap, cfg, interpret, ablate)
+    scratch = [
+        pltpu.VMEM((NS4, LANES), jnp.int32),
+        pltpu.VMEM((3 * stride, LANES), jnp.int32),
+        pltpu.VMEM((2, LANES), jnp.int32),
+        pltpu.SMEM((2, LANES), jnp.int32),
+        pltpu.VMEM((8, LANES), jnp.int32),
+        pltpu.VMEM((8, LANES), jnp.int32),
+        pltpu.SemaphoreType.DMA,
+    ]
     planes, err = pl.pallas_call(
         kernel,
         grid=(G, n_chunks),

@@ -6,6 +6,7 @@ Thin wrappers over jax.profiler so codec phases show up named in TensorBoard
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 
 import jax
@@ -50,3 +51,34 @@ class PhaseTimer:
             k: {"total_s": round(v, 4), "calls": self.counts[k]}
             for k, v in sorted(self.totals.items())
         }
+
+
+def enabled() -> bool:
+    """Stage profiling is on when LLCT_PROFILE=1 (checked per call so tests
+    can toggle it)."""
+    return os.environ.get("LLCT_PROFILE") == "1"
+
+
+#: process-wide stage timer; ``python bench.py`` prints its report when
+#: LLCT_PROFILE=1 (regenerates docs/DESIGN.md's stage-cost table).
+stages = PhaseTimer()
+
+
+def timed(label: str, fn, *args, **kwargs):
+    """Run one pipeline stage, named in device traces via ``annotate``.
+
+    With LLCT_PROFILE=1 also blocks on the stage's outputs and records the
+    wall time in ``stages`` — this serializes JAX's async dispatch, so
+    profile-mode throughput is NOT representative; it exists to attribute
+    time, not to measure end-to-end speed.
+    """
+    if not enabled():
+        return fn(*args, **kwargs)
+    t0 = time.perf_counter()
+    with annotate(label):
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    stages.totals[label] = stages.totals.get(label, 0.0) + dt
+    stages.counts[label] = stages.counts.get(label, 0) + 1
+    return out

@@ -66,6 +66,22 @@ def test_pallas_roundtrip_pallas_only():
     np.testing.assert_array_equal(out, lanes)
 
 
+def test_blocked_wide_kernel_interpret_bitexact(monkeypatch):
+    """The hardware (blocked, NSUB-wide) decode kernel, run under the
+    interpreter: multi-group sublane packing, group-interleaved ring,
+    deferred-write-back semantics and the G-padding path (G=2 -> NSUB=2)."""
+    from llcomp_tpu import decode as jdec
+
+    monkeypatch.setenv("LLCT_DECODE_FORCE_BLOCKED", "1")
+    monkeypatch.setenv("LLCT_DECODE_NSUB", "2")
+    lanes = [make_photo(2, 8, seed=i) for i in range(129)]
+    lanes += [make_noise(2, 8, seed=5), np.full((2, 8, 3), 77, np.uint8)]
+    streams = [oracle.encode(l)[6:] for l in lanes]
+    out = jdec.decode_lanes(streams, (2, 8, 3), engine="pallas")
+    for i, l in enumerate(lanes):
+        np.testing.assert_array_equal(out[i], l, err_msg=f"lane {i}")
+
+
 def test_device_expansion_matches_host():
     """expand_slots_on_device == expand_slots_batch on random slot records."""
     import jax.numpy as jnp

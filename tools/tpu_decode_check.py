@@ -15,7 +15,7 @@ print("backend:", jax.default_backend(), flush=True)
 if mode == "small":
     H, W, C, S = 4, 6, 3, 3
 else:
-    H, W, C, S = 8, 512, 3, 256
+    H, W, C, S = 8, 512, 3, int(sys.argv[2]) if len(sys.argv) > 2 else 256
 
 rng = np.random.default_rng(7)
 imgs = np.stack([
