@@ -622,6 +622,12 @@ def _decode_lanes_pallas(
         )
         for g in range(0, G, step)
     ]
+    # device->host transfers are pull-based: start every superblock's
+    # download eagerly so it overlaps later superblocks' kernels (the
+    # dev-tunnel link otherwise serializes behind the last kernel)
+    for imgs, err in inflight:
+        imgs.copy_to_host_async()
+        err.copy_to_host_async()
     parts, lane_err = [], []
     for imgs, err in inflight:
         parts.append(profiling.timed("decode/download", np.asarray, imgs))

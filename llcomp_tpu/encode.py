@@ -346,27 +346,29 @@ def _stage_sym_sort(hash_g, diff_g, n_sym: int):
 
 
 @functools.partial(jax.jit, static_argnames=("K", "Tq"))
-def _stage_compact(kpp, origsym, K: int, Tq: int):
+def _stage_compact(kplo, kphi, origsym, K: int, Tq: int):
     """Pair-packed walk records -> compacted stream-order coder input.
 
-    kpp [G, n_pad*K/2, 8, 128] = rec_{2m+1}<<10 | rec_{2m} in context-sorted
-    symbol order (rec = valid<<9|bit<<8|prob, invalid 0); origsym the sorted
-    symbols' original stream positions.  A symbol's valid slots are a prefix
-    of its K-slot block and K % 4 == 0, so each aligned quad shares validity
-    with its first record: packing a quad and its stream position into ONE
-    i64 (slotquad << 40 | rec4..rec1) quarters the compacting un-permute
-    sort's element count.  slotquad gets 23 bits — the position budget is
-    2^25 decision slots per lane (the old in-kernel i32 packing capped it
-    at 2^20).  The ascending sort restores stream order AND front-packs the
+    kplo/kphi [G, n_pad*K/4, 8, 128]: quad q's first pair (rec_{4q+1}<<10 |
+    rec_{4q}) and second pair (rec_{4q+3}<<10 | rec_{4q+2}) in context-sorted
+    symbol order (rec = valid<<9|bit<<8|prob, invalid 0) — two contiguous
+    arrays, NOT interleaved, because stride-2 slices of a ~0.5 GB array are
+    device relayouts (~1 s/GB here); origsym the sorted symbols' original
+    stream positions.  A symbol's valid slots are a prefix of its K-slot
+    block and K % 4 == 0, so each aligned quad shares validity with its
+    first record: packing a quad and its stream position into ONE i64
+    (slotquad << 40 | rec4..rec1) quarters the compacting un-permute sort's
+    element count.  slotquad gets 23 bits — the position budget is 2^25
+    decision slots per lane (the old in-kernel i32 packing capped it at
+    2^20).  The ascending sort restores stream order AND front-packs the
     live quads; records unpack straight into the coder xs format
     (prob | bit<<8 | valid<<9), dead records 0.
     """
-    G, T2 = kpp.shape[0], kpp.shape[1]
+    G = kplo.shape[0]
     n_pad = origsym.shape[1]
     QS = K // 4                        # quads per symbol
-    q = kpp.reshape(G, n_pad, QS, 2, kpp.shape[2], kpp.shape[3])
-    lo = q[:, :, :, 0]                 # rec1 | rec2<<10
-    hi = q[:, :, :, 1]                 # rec3 | rec4<<10
+    lo = kplo.reshape(G, n_pad, QS, kplo.shape[2], kplo.shape[3])
+    hi = kphi.reshape(G, n_pad, QS, kphi.shape[2], kphi.shape[3])
     live = (lo & (1 << 9)) != 0
     with jax.enable_x64(True):
         quad_i = jax.lax.broadcasted_iota(jnp.int64, lo.shape, 2)
@@ -377,7 +379,7 @@ def _stage_compact(kpp, origsym, K: int, Tq: int):
             | lo.astype(jnp.int64)
         )
         kq = jnp.where(live, kq, jnp.int64(0x7FFFFFFFFFFFFFFF))
-        kq = kq.reshape(G, n_pad * QS, kpp.shape[2], kpp.shape[3])
+        kq = kq.reshape(G, n_pad * QS, kplo.shape[2], kplo.shape[3])
         (s,) = jax.lax.sort((kq,), dimension=1, is_stable=False, num_keys=1)
         # live quads are front-packed: unpack only the Tq-quad prefix the
         # coder will consume (the full-T unpack dominated HBM at large T)
@@ -388,7 +390,7 @@ def _stage_compact(kpp, origsym, K: int, Tq: int):
             for j in range(4)
         ]
     return jnp.stack(outs, axis=2).reshape(
-        G, Tq * 4, kpp.shape[2], kpp.shape[3]
+        G, Tq * 4, kplo.shape[2], kplo.shape[3]
     )
 
 
@@ -531,9 +533,10 @@ def _launch_stage_rest(ctx, outcap: int, speculate: bool = True):
         xs_sym, origsym = profiling.timed(
             "encode/sym_sort", _stage_sym_sort, hash_g, diff_g, n_sym
         )
-        kpp = profiling.timed("encode/walk", pk.walk_symbols, xs_sym, K)
+        kplo, kphi = profiling.timed("encode/walk", pk.walk_symbols, xs_sym,
+                                     K)
         coder_xs = profiling.timed(
-            "encode/compact_sort", _stage_compact, kpp, origsym, K,
+            "encode/compact_sort", _stage_compact, kplo, kphi, origsym, K,
             min(T, Tq_req * 4) // 4
         )
     else:
@@ -624,13 +627,20 @@ def encode_lanes_pipelined(
                                                   speculate=False)
         inflight.append((imgs, outcap, byts_g, lens_g, check))
 
-    out = []
+    # two-step collect: sync each batch's (tiny) lens, slice the occupied
+    # byte prefix and start its device->host copy, THEN materialize — so a
+    # batch's bytes stream back while later batches are still computing
+    ready = []
     for imgs, outcap, byts_g, lens_g, check in inflight:
         check()
-        S = imgs.shape[0]
         lens = np.asarray(lens_g).reshape(-1)
         cap2 = min(outcap, max(1024, -(-int(lens.max(initial=1)) // 1024) * 1024))
-        byts = np.asarray(byts_g[:, :cap2]).transpose(0, 2, 3, 1).reshape(-1, cap2)
+        b2 = byts_g[:, :cap2]
+        b2.copy_to_host_async()
+        ready.append((imgs.shape[0], cap2, b2, lens))
+    out = []
+    for S, cap2, b2, lens in ready:
+        byts = np.asarray(b2).transpose(0, 2, 3, 1).reshape(-1, cap2)
         out.append([byts[s, : lens[s]].tobytes() for s in range(S)])
     return out
 

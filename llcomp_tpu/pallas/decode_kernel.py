@@ -58,7 +58,9 @@ from ..core import tables
 from ..core.config import REV2, CodecConfig
 
 LANES = 128
-SYMCHUNK = 256        # symbols per grid step (multiple of 8)
+# symbols per grid step (multiple of 8); bigger chunks amortize per-grid-step
+# overheads at the cost of a larger planes block (tunable for probes)
+SYMCHUNK = int(os.environ.get("LLCT_DECODE_SYMCHUNK", "256"))
 NS4 = (REV2.num_states + 8) // 4 + 8   # packed model words per lane (+trash row)
 
 _ZF, _EXP, _MANT, _SIGN, _DONE = 0, 1, 2, 3, 4

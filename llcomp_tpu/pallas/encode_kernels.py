@@ -168,14 +168,19 @@ def build_stream(hash_g: jnp.ndarray, diff_g: jnp.ndarray, n_sym: int,
 
 
 def _make_symwalk_kernel(K: int):
-    def kernel(xs_ref, prob_tab, ns0_tab, ns1_tab, out_ref, lo_s, hi_s):
+    def kernel(xs_ref, prob_tab, ns0_tab, ns1_tab, outlo_ref, outhi_ref,
+               lo_s, hi_s):
         """xs: (live << 13 | seg << 12 | diff+1274), sorted by (hash,
         position) along the symbol axis (|diff| <= 1274, SURVEY §2.4, so the
         residual field needs exactly 12 bits).  Emits PAIR-packed coder
         records (rec_{2m+1} << 10 | rec_{2m}, rec = valid<<9|bit<<8|prob,
-        invalid slots 0): positions never enter the kernel — the compacting
-        sort key is assembled outside from the sorted symbol positions —
-        and the output array is half the size of one-record-per-slot."""
+        invalid slots 0) as TWO quad-major streams — outlo holds each
+        quad's first pair (slots 4q,4q+1), outhi its second (4q+2,4q+3) —
+        so the compact stage's i64 key assembly reads two CONTIGUOUS
+        arrays instead of stride-2 slices (device relayouts cost ~1 s/GB
+        on this backend).  Positions never enter the kernel — the
+        compacting sort key is assembled outside from the sorted symbol
+        positions."""
         tchunk = pl.program_id(1)
 
         @pl.when(tchunk == 0)
@@ -239,8 +244,12 @@ def _make_symwalk_kernel(K: int):
                 )
                 if k % 2 == 0:
                     rec_even = rec
+                elif k % 4 == 1:
+                    outlo_ref[0, j * (K // 4) + k // 4] = (
+                        rec_even | (rec << 10)
+                    )
                 else:
-                    out_ref[0, j * (K // 2) + k // 2] = (
+                    outhi_ref[0, j * (K // 4) + k // 4] = (
                         rec_even | (rec << 10)
                     )
             return lo, hi
@@ -256,13 +265,19 @@ SYMCHUNK = 32             # symbols per walk grid step
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
-def walk_symbols(xs: jnp.ndarray, K: int = 24) -> jnp.ndarray:
-    """Sorted symbols [G, n_sym_pad, 8, 128] -> pair-packed coder records
-    [G, n_sym_pad*K/2, 8, 128] i32 (two 10-bit records per word) for the
-    compacting back sort (encode._stage_compact)."""
+def walk_symbols(xs: jnp.ndarray, K: int = 24):
+    """Sorted symbols [G, n_sym_pad, 8, 128] -> two quad-major pair-packed
+    record streams (lo, hi), each [G, n_sym_pad*K/4, 8, 128] i32 (two
+    10-bit records per word), for the compacting back sort
+    (encode._stage_compact)."""
     G, n_pad = xs.shape[0], xs.shape[1]
     assert n_pad % SYMCHUNK == 0, n_pad
     assert K % 4 == 0, K  # quad-packed compact sort granularity
+    qshape = jax.ShapeDtypeStruct((G, n_pad * K // 4, SUBS, LANES), jnp.int32)
+    qspec = pl.BlockSpec(
+        (1, SYMCHUNK * K // 4, SUBS, LANES), lambda g, c: (g, c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     return pl.pallas_call(
         _make_symwalk_kernel(K),
         grid=(G, n_pad // SYMCHUNK),
@@ -276,13 +291,8 @@ def walk_symbols(xs: jnp.ndarray, K: int = 24) -> jnp.ndarray:
             pl.BlockSpec((SUBS, LANES), lambda g, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, SYMCHUNK * K // 2, SUBS, LANES), lambda g, c: (g, c, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (G, n_pad * K // 2, SUBS, LANES), jnp.int32
-        ),
+        out_specs=(qspec, qspec),
+        out_shape=(qshape, qshape),
         scratch_shapes=[pltpu.VMEM((SUBS, LANES), jnp.int32)] * 2,
         interpret=_use_interpret(),
     )(
