@@ -65,6 +65,10 @@ def main() -> int:
     on_tpu = jax.default_backend() == "tpu"
     engine = os.environ.get("BENCH_ENGINE", "pallas" if on_tpu else "xla")
 
+    # the sliced-mode model prior (tables.PRIOR_SUB): what api.compress picks
+    # for this photo-like corpus; BENCH_PRIMED=0 reverts to cold restarts
+    primed = os.environ.get("BENCH_PRIMED", "1") != "0"
+
     imgs = [make_photo(H, W, c=CH, seed=100 + i) for i in range(n_images)]
     lanes = np.concatenate(
         [img.reshape(H // slice_h, slice_h, W, CH) for img in imgs]
@@ -84,13 +88,13 @@ def main() -> int:
     if engine == "pallas":
         # warm compile
         t0 = time.time()
-        streams = jenc.encode_lanes(lanes, engine="pallas")
+        streams = jenc.encode_lanes(lanes, engine="pallas", primed=primed)
         compile_s = time.time() - t0
         times = []
         for r in range(reps):
             fb = fresh_batch(r)
             t0 = time.time()
-            streams = jenc.encode_lanes(fb, engine="pallas")
+            streams = jenc.encode_lanes(fb, engine="pallas", primed=primed)
             times.append(time.time() - t0)
         lanes = fb  # for the round-trip gate below
         enc_single_s = min(times)
@@ -101,18 +105,18 @@ def main() -> int:
         for round_ in range(2):
             fresh = [fresh_batch(100 + round_ * 40 + j) for j in range(nb)]
             t0 = time.time()
-            jenc.encode_lanes_pipelined(fresh)
+            jenc.encode_lanes_pipelined(fresh, primed=primed)
             sustained = max(sustained, nb * mp_total / (time.time() - t0))
         headline = max(sustained, mp_total / enc_single_s)
     else:
         t0 = time.time()
-        streams = jenc.encode_lanes(lanes, engine="xla")
+        streams = jenc.encode_lanes(lanes, engine="xla", primed=primed)
         compile_s = time.time() - t0
         times = []
         for r in range(reps):
             fb = fresh_batch(r)
             t0 = time.time()
-            streams = jenc.encode_lanes(fb, engine="xla")
+            streams = jenc.encode_lanes(fb, engine="xla", primed=primed)
             times.append(time.time() - t0)
         lanes = fb
         enc_single_s = min(times)
@@ -136,6 +140,7 @@ def main() -> int:
         "images": n_images,
         "slice_h": slice_h,
         "engine": engine,
+        "primed": primed,
         "compile_s": round(compile_s, 1),
         "platform": jax.devices()[0].platform,
     }
@@ -173,7 +178,7 @@ def main() -> int:
         try:
             t0 = time.time()
             out_lanes = jdec.decode_lanes(streams, (slice_h, W, CH),
-                                          engine=dec_engine)
+                                          engine=dec_engine, primed=primed)
             dec_total = time.time() - t0
             ok = np.array_equal(out_lanes, lanes)
             # timed pass: all fresh batches in ONE decode_lanes call — the
@@ -182,18 +187,31 @@ def main() -> int:
             # tunnel moves decoded pixels at ~15 MB/s; overlap is the only
             # way e2e approaches kernel throughput)
             fbds = [fresh_batch(900 + r) for r in range(reps)]
-            stds = jenc.encode_lanes_pipelined(fbds) if engine == "pallas" \
-                else [jenc.encode_lanes(f, engine=engine) for f in fbds]
+            stds = (jenc.encode_lanes_pipelined(fbds, primed=primed)
+                    if engine == "pallas"
+                    else [jenc.encode_lanes(f, engine=engine, primed=primed)
+                          for f in fbds])
             allstreams = [s for st in stds for s in st]
             t0 = time.time()
             outd = jdec.decode_lanes(allstreams, (slice_h, W, CH),
-                                     engine=dec_engine)
+                                     engine=dec_engine, primed=primed)
             dec_warm = (time.time() - t0) / reps
             ok = ok and np.array_equal(outd, np.concatenate(fbds))
-            result["decode_mps_e2e"] = round(mp_total / dec_warm, 3)
+            dec_mps = mp_total / dec_warm
+            result["decode_mps_e2e"] = round(dec_mps, 3)
             result["decode_engine"] = dec_engine
             result["decode_compile_s"] = round(dec_total - dec_warm, 1)
             result["roundtrip_exact"] = bool(ok)
+            # single-core reference decode MP/s per config (BASELINE.md);
+            # the headline gate is the WORSE of encode/decode vs baseline,
+            # so a decode regression drags vs_baseline down with it
+            dec_base = {
+                (512, 3): 3.5, (2048, 3): 3.1, (1024, 3): 3.4, (256, 4): 2.3,
+            }.get((H, CH), 3.5)
+            result["decode_vs_baseline"] = round(dec_mps / dec_base, 3)
+            result["vs_baseline"] = round(
+                min(result["vs_baseline"], result["decode_vs_baseline"]), 3
+            )
             if not ok:
                 result["vs_baseline"] = 0.0
         except Exception as e:  # decode failure = hard fail

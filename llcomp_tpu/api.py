@@ -49,14 +49,47 @@ def pick_slice_height(height: int, width: int, channels: int,
     return max(1, min(height, rows, max_rows))
 
 
+# Encoder policy for the sliced-mode model prior (tables.PRIOR_SUB): priming
+# helps photographic/noisy content (+13-20% ratio, tools/derive_prior.py) but
+# hurts very flat content whose model wants the zero-leaning state-0 start.
+# The zero-residual fraction separates the two regimes; the container flag
+# records the choice, so this threshold is encoder policy, not format.
+PRIMED_ZERO_FRAC_MAX = 0.2
+
+
+def _pick_primed(img: np.ndarray, cfg: CodecConfig = REV2) -> bool:
+    """Prime iff the image's zero-residual fraction is photo-like (low).
+
+    Sampled on up to ~2 MP of 8-row bands (prediction needs two rows of
+    context, so bands, not single rows).
+    """
+    from . import oracle
+
+    H = img.shape[0]
+    n_px = img.shape[0] * img.shape[1]
+    band = 8
+    step = max(1, int(np.ceil(n_px / 2_000_000)) * band)
+    zs, n = 0, 0
+    for y0 in range(0, H, step):
+        v = oracle.rct_forward(img[y0 : y0 + band])
+        _, diff = oracle.context_and_residual(v, cfg)
+        zs += int((diff == 0).sum())
+        n += diff.size
+    return (zs / max(n, 1)) < PRIMED_ZERO_FRAC_MAX
+
+
 def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
-             backend: str = "jax", revision: int = 2) -> bytes:
+             backend: str = "jax", revision: int = 2,
+             primed: bool | None = None) -> bytes:
     """Compress a uint8 [H, W, C] image.
 
     slices=None/1 -> reference-compatible single stream (bit-exact vs llcompc).
     slices='auto' or an int n -> sliced container with n independent stripes,
     encoded lane-parallel on the accelerator.
     revision=0 -> the legacy llcomp.js bitstream (magic 0x77, float model).
+    primed (sliced mode only): start each stripe's model at tables.PRIOR_SUB
+    instead of zeros — recovers most of the per-stripe restart ratio loss on
+    photographic content.  None = decide per image (_pick_primed).
     """
     img = _as_image(img)
     H, W, C = img.shape
@@ -90,11 +123,17 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
             raise ValueError(f"slices must be >= 1 or 'auto', got {n}")
         slice_h = max(1, -(-H // n))
     bounds = container.slice_bounds(H, slice_h)
-    streams = encode_stripes(img, bounds, cfg)
-    return container.pack_sliced(streams, W, H, C, slice_h, cfg)
+    if primed is None:
+        primed = len(bounds) > 1 and _pick_primed(img, cfg)
+    streams = encode_stripes(img, bounds, cfg, primed)
+    return container.pack_sliced(
+        streams, W, H, C, slice_h, cfg,
+        flags=container.FLAG_PRIMED if primed else 0,
+    )
 
 
-def encode_stripes(img: np.ndarray, bounds, cfg: CodecConfig = REV2) -> list[bytes]:
+def encode_stripes(img: np.ndarray, bounds, cfg: CodecConfig = REV2,
+                   primed: bool = False) -> list[bytes]:
     """Encode stripes as independent streams, batching equal-shaped stripes."""
     from . import encode
 
@@ -111,7 +150,9 @@ def encode_stripes(img: np.ndarray, bounds, cfg: CodecConfig = REV2) -> list[byt
         for c0 in range(0, len(idxs), chunk):
             part = idxs[c0 : c0 + chunk]
             lanes = np.stack([img[bounds[i][0] : bounds[i][1]] for i in part])
-            for i, blob in zip(part, encode.encode_lanes(lanes, cfg)):
+            for i, blob in zip(
+                part, encode.encode_lanes(lanes, cfg, primed=primed)
+            ):
                 out[i] = blob
     return out  # type: ignore[return-value]
 
@@ -120,9 +161,10 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax") -> np
     """Decompress either container format back to a uint8 [H, W, C] image."""
     data = bytes(data)
     if container.is_sliced(data):
-        streams, W, H, C, slice_h = container.unpack_sliced(data, cfg)
+        streams, W, H, C, slice_h, flags = container.unpack_sliced(data, cfg)
         bounds = container.slice_bounds(H, slice_h)
-        return decode_stripes(streams, bounds, W, C, cfg)
+        return decode_stripes(streams, bounds, W, C, cfg,
+                              primed=bool(flags & container.FLAG_PRIMED))
 
     if data[:1] == b"\x77":  # legacy revision-0 stream (llcomp.js)
         from . import rev0
@@ -143,7 +185,8 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax") -> np
     return decode.decode_lanes([payload], (H, W, C), cfg)[0]
 
 
-def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2) -> np.ndarray:
+def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2,
+                   primed: bool = False) -> np.ndarray:
     from . import decode
 
     H = bounds[-1][1]
@@ -152,7 +195,9 @@ def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2) -> 
     for i, (y0, y1) in enumerate(bounds):
         by_shape.setdefault(y1 - y0, []).append(i)
     for rows, idxs in by_shape.items():
-        lanes = decode.decode_lanes([streams[i] for i in idxs], (rows, W, C), cfg)
+        lanes = decode.decode_lanes(
+            [streams[i] for i in idxs], (rows, W, C), cfg, primed=primed
+        )
         for k, i in enumerate(idxs):
             out[bounds[i][0] : bounds[i][1]] = lanes[k]
     return out
@@ -168,7 +213,7 @@ def reencode_slice(data: bytes, index: int, stripe, cfg: CodecConfig = REV2) -> 
     fault-tolerance primitive SURVEY §5 calls for: a lost/corrupt shard is
     healed by re-encoding only its rows.
     """
-    streams, W, H, C, slice_h = container.unpack_sliced(data, cfg)
+    streams, W, H, C, slice_h, flags = container.unpack_sliced(data, cfg)
     bounds = container.slice_bounds(H, slice_h)
     if not 0 <= index < len(bounds):
         raise IndexError(f"slice index {index} out of range [0, {len(bounds)})")
@@ -181,8 +226,10 @@ def reencode_slice(data: bytes, index: int, stripe, cfg: CodecConfig = REV2) -> 
     from . import encode
 
     streams = list(streams)
-    streams[index] = encode.encode_lanes(stripe[None], cfg)[0]
-    return container.pack_sliced(streams, W, H, C, slice_h, cfg)
+    streams[index] = encode.encode_lanes(
+        stripe[None], cfg, primed=bool(flags & container.FLAG_PRIMED)
+    )[0]
+    return container.pack_sliced(streams, W, H, C, slice_h, cfg, flags=flags)
 
 
 # Sliced-format aliases used by the package __init__.

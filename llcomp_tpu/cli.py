@@ -70,8 +70,9 @@ def _cmd_decompress(args) -> int:
 def _cmd_info(args) -> int:
     data = pathlib.Path(args.input).read_bytes()
     if container.is_sliced(data):
-        streams, w, h, c, slice_h = container.unpack_sliced(data)
-        print(f"sliced container v{container.CONTAINER_VERSION} (rev 2)")
+        streams, w, h, c, slice_h, flags = container.unpack_sliced(data)
+        primed = " primed" if flags & container.FLAG_PRIMED else ""
+        print(f"sliced container v{container.CONTAINER_VERSION} (rev 2{primed})")
         print(f"  {w}x{h}x{c}, {len(streams)} slices of {slice_h} rows")
         print(f"  payload {sum(len(s) for s in streams)} bytes, "
               f"{8 * len(data) / (w * h):.3f} bpp")

@@ -17,7 +17,7 @@ Two on-disk formats:
       4   1   container version (1)
       5   1   codec revision (2)
       6   1   channels
-      7   1   reserved (0)
+      7   1   flags (bit 0: model primed with tables.PRIOR_SUB)
       8   4   width  u32
       12  4   height u32
       16  4   slice height u32 (last slice may be shorter)
@@ -39,6 +39,7 @@ from .core.config import REV2, CodecConfig
 
 MAGIC_SLICED = b"LLCT"
 CONTAINER_VERSION = 1
+FLAG_PRIMED = 1  # slice models start at tables.PRIOR_SUB instead of zeros
 
 
 def pack_single(stream: bytes, width: int, height: int, channels: int,
@@ -60,9 +61,10 @@ def unpack_single(data: bytes, cfg: CodecConfig = REV2):
 
 
 def pack_sliced(streams: list[bytes], width: int, height: int, channels: int,
-                slice_h: int, cfg: CodecConfig = REV2) -> bytes:
+                slice_h: int, cfg: CodecConfig = REV2,
+                flags: int = 0) -> bytes:
     head = MAGIC_SLICED + struct.pack(
-        "<BBBBIIII", CONTAINER_VERSION, cfg.revision, channels, 0,
+        "<BBBBIIII", CONTAINER_VERSION, cfg.revision, channels, flags,
         width, height, slice_h, len(streams),
     )
     index = struct.pack(f"<{len(streams)}I", *(len(s) for s in streams))
@@ -70,16 +72,18 @@ def pack_sliced(streams: list[bytes], width: int, height: int, channels: int,
 
 
 def unpack_sliced(data: bytes, cfg: CodecConfig = REV2):
-    """-> (streams, width, height, channels, slice_h)."""
+    """-> (streams, width, height, channels, slice_h, flags)."""
     if data[:4] != MAGIC_SLICED:
         raise ValueError("Invalid magic number")
-    ver, rev, channels, _r, width, height, slice_h, n = struct.unpack_from(
+    ver, rev, channels, flags, width, height, slice_h, n = struct.unpack_from(
         "<BBBBIIII", data, 4
     )
     if ver != CONTAINER_VERSION:
         raise ValueError(f"unsupported container version {ver}")
     if rev != cfg.revision:
         raise ValueError(f"unsupported codec revision {rev}")
+    if flags & ~FLAG_PRIMED:
+        raise ValueError(f"unsupported container flags {flags:#x}")
     off = 24
     lengths = struct.unpack_from(f"<{n}I", data, off)
     off += 4 * n
@@ -87,7 +91,7 @@ def unpack_sliced(data: bytes, cfg: CodecConfig = REV2):
     for ln in lengths:
         streams.append(data[off : off + ln])
         off += ln
-    return streams, width, height, channels, slice_h
+    return streams, width, height, channels, slice_h, flags
 
 
 def slice_bounds(height: int, slice_h: int) -> list[tuple[int, int]]:

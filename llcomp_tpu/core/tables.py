@@ -75,6 +75,26 @@ NEXT_STATE[_i * 2 + 1 - (_i & 1)] = NEXT_STATE_LPS
 del _i
 
 
+# Sliced-container model prior ("primed" mode, container flag bit 0).
+# The reference format has no sliced mode, so stripe model restarts are this
+# framework's own problem; resetting every context row to these per-substate
+# states instead of state 0 recovers ~70% of the restart ratio loss on
+# photographic content for zero stored bytes (derivation + measurements:
+# tools/derive_prior.py).  Substate k of EVERY context hash starts at
+# PRIOR_SUB[k]: 0 = zero-flag (residuals mostly nonzero on photos), 1-4 =
+# exponent unary (continuation likely early, unlikely late), 5-6 = mantissa,
+# 7 = sign (both near 50/50).  FORMAT CONSTANTS of primed sliced containers:
+# encoder and decoder must agree forever; never regenerate in place.
+PRIOR_SUB = np.array([66, 41, 13, 6, 42, 10, 6, 6], dtype=np.uint8)
+
+# Packed forms for the kernel register layout (4 substates x 8 bits per i32).
+# (int() each lane BEFORE shifting: uint8 << 8 wraps to 0 under numpy.)
+_p = [int(x) for x in PRIOR_SUB]
+PRIOR_LO = _p[0] | _p[1] << 8 | _p[2] << 16 | _p[3] << 24
+PRIOR_HI = _p[4] | _p[5] << 8 | _p[6] << 16 | _p[7] << 24
+del _p
+
+
 def quant5(x) -> np.ndarray:
     """quant5 with the reference's clamp-then-wrap indexing (`llcomp.hpp:339-341`)."""
     return QUANT5[np.clip(x, -128, 127) & 0xFF]

@@ -75,15 +75,22 @@ def compress_corpus(
     cfg: CodecConfig = REV2,
     max_lanes_per_batch: int = 2048,
     mesh=None,
+    primed: bool | None = None,
 ) -> tuple[list[bytes], CorpusStats]:
     """Compress many images -> per-image sliced containers + stats.
 
     Stripes from all images share device batches (grouped by geometry, capped
-    at ``max_lanes_per_batch`` lanes per dispatch).
+    at ``max_lanes_per_batch`` lanes per dispatch).  ``primed`` applies the
+    sliced-mode model prior to every container; None decides once for the
+    whole corpus (majority vote of api._pick_primed over a sample) so mixed
+    batches stay lockstep.
     """
     from . import encode as jenc
 
     images = [api._as_image(im) for im in images]
+    if primed is None:
+        votes = [api._pick_primed(im, cfg) for im in images[:8]]
+        primed = sum(votes) * 2 > len(votes)
     stats = CorpusStats(images=len(images))
     shapes = [im.shape for im in images]
     groups = _stripe_plan(shapes, slice_h)
@@ -104,9 +111,10 @@ def compress_corpus(
             if mesh is not None:
                 from . import parallel
 
-                streams = parallel.encode_lanes_sharded(lanes, mesh, cfg)
+                streams = parallel.encode_lanes_sharded(lanes, mesh, cfg,
+                                                        primed)
             else:
-                streams = jenc.encode_lanes(lanes, cfg)
+                streams = jenc.encode_lanes(lanes, cfg, primed=primed)
             for (i, y0, y1), blob in zip(chunk, streams):
                 per_image[i][slice_of[i][y0]] = blob
             stats.lanes += len(chunk)
@@ -116,7 +124,10 @@ def compress_corpus(
     blobs = []
     for idx, im in enumerate(images):
         H, W, C = im.shape
-        blob = container.pack_sliced(per_image[idx], W, H, C, slice_h, cfg)
+        blob = container.pack_sliced(
+            per_image[idx], W, H, C, slice_h, cfg,
+            flags=container.FLAG_PRIMED if primed else 0,
+        )
         blobs.append(blob)
         stats.pixels += H * W
         stats.raw_bytes += im.nbytes
@@ -132,28 +143,31 @@ def decompress_corpus(
     from . import decode as jdec
 
     metas = [container.unpack_sliced(b, cfg) for b in blobs]
-    groups: dict[tuple[int, int, int], list[tuple[int, int, bytes]]] = {}
-    for idx, (streams, W, H, C, slice_h) in enumerate(metas):
+    groups: dict[tuple[int, int, int, bool], list[tuple[int, int, bytes]]] = {}
+    for idx, (streams, W, H, C, slice_h, flags) in enumerate(metas):
+        primed = bool(flags & container.FLAG_PRIMED)
         for j, (y0, y1) in enumerate(container.slice_bounds(H, slice_h)):
-            groups.setdefault((y1 - y0, W, C), []).append((idx, j, streams[j]))
+            groups.setdefault((y1 - y0, W, C, primed), []).append(
+                (idx, j, streams[j])
+            )
 
     outs = [
         np.empty((H, W, C), dtype=np.uint8)
-        for (_, W, H, C, _) in metas
+        for (_, W, H, C, _, _) in metas
     ]
-    for (rows, W, C), members in groups.items():
+    for (rows, W, C, primed), members in groups.items():
         for start in range(0, len(members), max_lanes_per_batch):
             chunk = members[start : start + max_lanes_per_batch]
             if mesh is not None:
                 from . import parallel
 
                 lanes = parallel.decode_lanes_sharded(
-                    [m[2] for m in chunk], (rows, W, C), mesh, cfg
+                    [m[2] for m in chunk], (rows, W, C), mesh, cfg, primed
                 )
             else:
-                lanes = jdec.decode_lanes([m[2] for m in chunk], (rows, W, C), cfg)
+                lanes = jdec.decode_lanes([m[2] for m in chunk], (rows, W, C),
+                                          cfg, primed=primed)
             for (idx, j, _), lane in zip(chunk, lanes):
-                _, _, H, _, slice_h = metas[idx]
                 y0 = j * metas[idx][4]
                 outs[idx][y0 : y0 + rows] = lane
     return outs

@@ -39,11 +39,24 @@ import jax
 import jax.numpy as jnp
 
 from . import profiling
-from .core import transform
+from .core import tables, transform
 from .core.config import REV2, CodecConfig
 
 # Symbol state-machine phases.
 _ZF, _EXP, _MANT, _SIGN, _DONE = 0, 1, 2, 3, 4
+
+
+def _init_states(S: int, cfg: CodecConfig, primed: bool, pad: int):
+    """Per-lane model init: zeros (reference semantics) or the sliced-mode
+    per-substate prior (tables.PRIOR_SUB, container flag bit 0); ``pad``
+    trash slots per lane stay zero either way."""
+    if not primed:
+        return jnp.zeros((S * (cfg.num_states + pad),), jnp.uint8)
+    row = np.concatenate([
+        np.tile(tables.PRIOR_SUB, cfg.num_states // cfg.substates),
+        np.zeros((pad,), np.uint8),
+    ])
+    return jnp.asarray(np.tile(row, S))
 
 
 def _onehot_lut(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -69,7 +82,8 @@ def _quant_flat(table, x):
 # ===========================================================================
 
 
-def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = REV2):
+def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int,
+                 cfg: CodecConfig = REV2, primed: bool = False):
     """data [S, cap] u8 (zero-padded) -> (planes [S, H, W, C] i32, err [S] bool)."""
     S, cap = data.shape
     NS = cfg.num_states
@@ -213,7 +227,7 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
 
     low0 = (d32[:, 0] << 8) | d32[:, 1]
     init = (
-        jnp.zeros((S * (NS + 1),), jnp.uint8),        # states
+        _init_states(S, cfg, primed, 1),              # states
         jnp.zeros((S * n_sym,), jnp.int32),           # out
         low0,                                         # low
         jnp.full((S,), 0xFF00, jnp.int32),            # range
@@ -241,7 +255,8 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = R
 # ===========================================================================
 
 def _decode_impl_rowbatch(
-    data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = REV2
+    data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = REV2,
+    primed: bool = False,
 ):
     """Symbol-synchronous decode with per-symbol row batching.
 
@@ -393,7 +408,7 @@ def _decode_impl_rowbatch(
         return (states, lines, low, rng, pos, err), recon
 
     carry0 = (
-        jnp.zeros((S * (NS + 8),), jnp.uint8),
+        _init_states(S, cfg, primed, 8),
         jnp.zeros((S, 3, stride), jnp.int32),
         low0,
         jnp.full((S,), 0xFF00, jnp.int32),
@@ -446,7 +461,8 @@ def _line_at(lines, row, off):
 
 
 def _decode_impl_lockstep(
-    data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = REV2
+    data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = REV2,
+    primed: bool = False,
 ):
     """data [S, cap] u8 (zero-padded) -> (planes [S, H, W, C] i32, err [S] bool)."""
     S, cap = data.shape
@@ -569,7 +585,7 @@ def _decode_impl_lockstep(
         return (states, lines, low, rng, pos, err), recon
 
     carry0 = (
-        jnp.zeros((S * (NS + 1),), jnp.uint8),
+        _init_states(S, cfg, primed, 1),
         jnp.zeros((S, 3, stride), jnp.int32),
         low0,
         jnp.full((S,), 0xFF00, jnp.int32),
@@ -583,12 +599,14 @@ def _decode_impl_lockstep(
     return planes, err
 
 
-_decode_scan = jax.jit(_decode_impl, static_argnames=("H", "W", "C", "cfg"))
+_decode_scan = jax.jit(
+    _decode_impl, static_argnames=("H", "W", "C", "cfg", "primed")
+)
 _decode_scan_lockstep = jax.jit(
-    _decode_impl_lockstep, static_argnames=("H", "W", "C", "cfg")
+    _decode_impl_lockstep, static_argnames=("H", "W", "C", "cfg", "primed")
 )
 _decode_scan_rowbatch = jax.jit(
-    _decode_impl_rowbatch, static_argnames=("H", "W", "C", "cfg")
+    _decode_impl_rowbatch, static_argnames=("H", "W", "C", "cfg", "primed")
 )
 
 
@@ -597,7 +615,8 @@ def _bucket_cap(n: int, quantum: int = 4096) -> int:
 
 
 def _decode_lanes_pallas(
-    streams: list[bytes], shape: tuple[int, int, int], cfg: CodecConfig
+    streams: list[bytes], shape: tuple[int, int, int], cfg: CodecConfig,
+    primed: bool = False,
 ) -> np.ndarray:
     from .pallas import decode_kernel as dk
 
@@ -618,7 +637,7 @@ def _decode_lanes_pallas(
     inflight = [
         profiling.timed(
             "decode/pallas_kernel", dk.decode_groups_images,
-            jnp.asarray(data[g : g + step]), H, W, C, cfg
+            jnp.asarray(data[g : g + step]), H, W, C, cfg, primed
         )
         for g in range(0, G, step)
     ]
@@ -642,7 +661,7 @@ def _decode_lanes_pallas(
 
 def decode_lanes(
     streams: list[bytes], shape: tuple[int, int, int], cfg: CodecConfig = REV2,
-    engine: str = "auto",
+    engine: str = "auto", primed: bool = False,
 ) -> np.ndarray:
     """Decode equal-geometry headerless streams -> images [S, H, W, C] u8.
 
@@ -650,6 +669,8 @@ def decode_lanes(
     on hardware since round 2 — see pallas/decode_kernel.py), 'decision'
     (while_loop, per-lane pacing; the XLA default), 'lockstep' (fixed
     24-step inner loop), 'rowbatch', or 'auto'.
+    primed: start every model row at tables.PRIOR_SUB instead of zeros
+    (sliced containers with flag bit 0; see tools/derive_prior.py).
     """
     H, W, C = shape
     S = len(streams)
@@ -663,7 +684,7 @@ def decode_lanes(
         else:
             engine = "decision"
     if engine == "pallas":
-        return _decode_lanes_pallas(streams, shape, cfg)
+        return _decode_lanes_pallas(streams, shape, cfg, primed)
     # per-lane serialized gathers scale with lane count while while_loop
     # iterations don't, and a smaller chunk also shortens the max-over-lanes
     # straggler tail, so modest chunks win (measured best ~256 lanes on the
@@ -683,7 +704,7 @@ def decode_lanes(
         data = np.zeros((len(chunk), cap), dtype=np.uint8)
         for s, blob in enumerate(chunk):
             data[s, : len(blob)] = np.frombuffer(blob, dtype=np.uint8)
-        planes, err = fn(jnp.asarray(data), H, W, C, cfg)
+        planes, err = fn(jnp.asarray(data), H, W, C, cfg, primed)
         inflight.append((i, transform.rct_inverse(planes), err))
     parts = []
     for i, imgs, err in inflight:

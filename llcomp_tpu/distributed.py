@@ -84,17 +84,22 @@ def _allgather_streams(streams: list[bytes], n_total: int, my_offset: int):
 
 
 def compress_image_pod(img: np.ndarray, slice_h: int = 8,
-                       cfg: CodecConfig = REV2) -> bytes:
+                       cfg: CodecConfig = REV2,
+                       primed: bool | None = None) -> bytes:
     """Compress one image with its stripes spread over every chip in the pod.
 
     Each process encodes the stripes its devices own, then all processes
     assemble the identical container via the ordered padded all-gather.
+    The primed decision is a pure function of the (replicated) image, so
+    every process picks the same flag without communication.
     """
     from . import api, encode as jenc
 
     img = api._as_image(img)
     H, W, C = img.shape
     bounds = container.slice_bounds(H, slice_h)
+    if primed is None:
+        primed = len(bounds) > 1 and api._pick_primed(img, cfg)
     n = len(bounds)
     lo, hi = corpus_span(n)
 
@@ -105,12 +110,15 @@ def compress_image_pod(img: np.ndarray, slice_h: int = 8,
     local: dict[int, bytes] = {}
     for rows, idxs in by_shape.items():
         lanes = np.stack([img[bounds[i][0] : bounds[i][1]] for i in idxs])
-        for i, blob in zip(idxs, jenc.encode_lanes(lanes, cfg)):
+        for i, blob in zip(idxs, jenc.encode_lanes(lanes, cfg, primed=primed)):
             local[i] = blob
 
     ordered_local = [local[i] for i in range(lo, hi)]
     streams = _allgather_streams(ordered_local, n, lo)
-    return container.pack_sliced(streams, W, H, C, slice_h, cfg)
+    return container.pack_sliced(
+        streams, W, H, C, slice_h, cfg,
+        flags=container.FLAG_PRIMED if primed else 0,
+    )
 
 
 def compress_corpus_distributed(images: list[np.ndarray], slice_h: int = 8,

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from . import coder, profiling
-from .core import transform
+from .core import tables, transform
 from .core.config import REV2, CodecConfig
 
 
@@ -77,13 +77,15 @@ def _compact_decisions(imgs: jnp.ndarray, cap: int, cfg: CodecConfig):
     )
 
 
-def _probability_prepass(compact: jnp.ndarray, cfg: CodecConfig):
+def _probability_prepass(compact: jnp.ndarray, cfg: CodecConfig,
+                         primed: bool = False):
     """Per-decision coding probabilities without materializing the model.
 
     For each lane: stable-sort decisions by context index (padding sorts
     last), walk the 128-state machine through each context's bit run with a
-    one-byte carry (segment boundaries reset to state 0 — fresh context),
-    then scatter the probabilities back to stream order.
+    one-byte carry (segment boundaries reset to state 0 — fresh context —
+    or, when ``primed``, to the substate's prior tables.PRIOR_SUB), then
+    scatter the probabilities back to stream order.
     """
     S, cap = compact.shape
     flat = compact.reshape(-1)
@@ -99,16 +101,22 @@ def _probability_prepass(compact: jnp.ndarray, cfg: CodecConfig):
         [jnp.full((S, 1), -2, jnp.int32), skey[:, :-1]], axis=1
     )
     seg_start = skey != prev
+    if primed:
+        rst = jnp.asarray(tables.PRIOR_SUB)[
+            jnp.where(skey >= 0, skey % cfg.substates, 0)
+        ]
+    else:
+        rst = jnp.zeros(skey.shape, jnp.uint8)
 
     def walk(state, xs):
-        b, ss = xs
-        st = jnp.where(ss, 0, state.astype(jnp.int32))
+        b, ss, r = xs
+        st = jnp.where(ss, r.astype(jnp.int32), state.astype(jnp.int32))
         p = transform.STATE_PROB[st]
         ns = transform.NEXT_STATE[st * 2 + b].astype(jnp.uint8)
         return ns, p.astype(jnp.uint8)
 
     _, probs_sorted = jax.lax.scan(
-        walk, jnp.zeros((S,), jnp.uint8), (sbit.T, seg_start.T)
+        walk, jnp.zeros((S,), jnp.uint8), (sbit.T, seg_start.T, rst.T)
     )                                                        # [cap, S]
 
     # un-permute: probs[lane, order[lane, j]] = probs_sorted[j, lane]
@@ -121,7 +129,8 @@ def _probability_prepass(compact: jnp.ndarray, cfg: CodecConfig):
     return probs
 
 
-def _pipeline_impl(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2):
+def _pipeline_impl(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2,
+                   primed: bool = False):
     """Full model-free encode; ``cap`` = static scan length (bucketed).
 
     Pure function (unjitted) so ``parallel`` can wrap it in shard_map with
@@ -130,7 +139,7 @@ def _pipeline_impl(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2):
     """
     S = imgs.shape[0]
     compact = _compact_decisions(imgs, cap, cfg)
-    probs = _probability_prepass(compact, cfg)
+    probs = _probability_prepass(compact, cfg, primed)
 
     def step(cod, xs):
         p, prob = xs
@@ -146,13 +155,21 @@ def _pipeline_impl(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2):
     return meta, runs
 
 
-def _pipeline_impl_modelscan(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2):
+def _pipeline_impl_modelscan(imgs: jnp.ndarray, cap: int,
+                             cfg: CodecConfig = REV2, primed: bool = False):
     """Cross-check variant: adaptive model carried through the scan."""
     S = imgs.shape[0]
     compact = _compact_decisions(imgs, cap, cfg)
 
     NS = cfg.num_states
-    states0 = jnp.zeros((S * (NS + 1),), jnp.uint8)      # +1 trash slot/lane
+    if primed:                                           # +1 trash slot/lane
+        row = np.concatenate([
+            np.tile(tables.PRIOR_SUB, NS // cfg.substates),
+            np.zeros((1,), np.uint8),
+        ])
+        states0 = jnp.asarray(np.tile(row, S))
+    else:
+        states0 = jnp.zeros((S * (NS + 1),), jnp.uint8)
     lane_base = jnp.arange(S) * (NS + 1)
 
     def step(carry, xs):
@@ -487,16 +504,18 @@ def _launch_stage_counts(imgs: np.ndarray, cfg: CodecConfig = REV2):
 
 
 def _pipeline_pallas_launch(imgs: np.ndarray, outcap: int,
-                            cfg: CodecConfig = REV2, speculate: bool = True):
+                            cfg: CodecConfig = REV2, speculate: bool = True,
+                            primed: bool = False):
     """Launch the device chain; returns (bytes, lens, check) where ``check()``
     returns True iff the speculated buckets covered this batch (always True
     when not speculating)."""
     return _launch_stage_rest(
-        _launch_stage_counts(imgs, cfg), outcap, speculate
+        _launch_stage_counts(imgs, cfg), outcap, speculate, primed
     )
 
 
-def _launch_stage_rest(ctx, outcap: int, speculate: bool = True):
+def _launch_stage_rest(ctx, outcap: int, speculate: bool = True,
+                       primed: bool = False):
     from .pallas import encode_kernels as pk
 
     imgs, hash_g, diff_g, (total_max, sym_max, quad_max), cfg = ctx
@@ -504,9 +523,11 @@ def _launch_stage_rest(ctx, outcap: int, speculate: bool = True):
     n_sym = H * W * C
     geom = (H, W, C, imgs.shape[0])
 
+    # the stream-granular walk variant has no substate information at reset
+    # time, so primed encodes always take the symbol-granular chain
     symbol_variant = (
         os.environ.get("LLCT_ENCODE_VARIANT", "symbol") == "symbol"
-    )
+    ) or primed
     spec = _spec_buckets.get(geom) if speculate else None
     if spec is None:
         sm = int(sym_max)
@@ -534,7 +555,7 @@ def _launch_stage_rest(ctx, outcap: int, speculate: bool = True):
             "encode/sym_sort", _stage_sym_sort, hash_g, diff_g, n_sym
         )
         kplo, kphi = profiling.timed("encode/walk", pk.walk_symbols, xs_sym,
-                                     K)
+                                     K, primed)
         coder_xs = profiling.timed(
             "encode/compact_sort", _stage_compact, kplo, kphi, origsym, K,
             min(T, Tq_req * 4) // 4
@@ -573,7 +594,7 @@ def _launch_stage_rest(ctx, outcap: int, speculate: bool = True):
 
 
 def _pipeline_pallas_bytes(imgs: np.ndarray, outcap: int,
-                           cfg: CodecConfig = REV2):
+                           cfg: CodecConfig = REV2, primed: bool = False):
     """Pallas encode to per-lane byte buffers on device.
 
     Slot records (GBs for big batches) never leave HBM; only the compacted
@@ -581,14 +602,15 @@ def _pipeline_pallas_bytes(imgs: np.ndarray, outcap: int,
     (bytes [G, outcap, 8, 128] u8, lens [G, 1, 8, 128] i32).
     """
     byts, lens, check = _pipeline_pallas_launch(imgs, outcap, cfg,
-                                                speculate=False)
+                                                speculate=False,
+                                                primed=primed)
     check()  # record buckets for future speculative launches
     return byts, lens
 
 
-_pipeline = jax.jit(_pipeline_impl, static_argnames=("cap", "cfg"))
+_pipeline = jax.jit(_pipeline_impl, static_argnames=("cap", "cfg", "primed"))
 _pipeline_modelscan = jax.jit(
-    _pipeline_impl_modelscan, static_argnames=("cap", "cfg")
+    _pipeline_impl_modelscan, static_argnames=("cap", "cfg", "primed")
 )
 
 
@@ -598,7 +620,7 @@ def _outcap(n_sym: int) -> int:
 
 
 def encode_lanes_pipelined(
-    batches: list[np.ndarray], cfg: CodecConfig = REV2
+    batches: list[np.ndarray], cfg: CodecConfig = REV2, primed: bool = False
 ) -> list[list[bytes]]:
     """Encode several lane batches with cross-batch overlap (Pallas path).
 
@@ -624,7 +646,8 @@ def encode_lanes_pipelined(
         n_sym = int(np.prod(imgs.shape[1:]))
         outcap = _outcap(n_sym)
         byts_g, lens_g, check = _launch_stage_rest(ctx, outcap,
-                                                  speculate=False)
+                                                  speculate=False,
+                                                  primed=primed)
         inflight.append((imgs, outcap, byts_g, lens_g, check))
 
     # two-step collect: sync each batch's (tiny) lens, slice the occupied
@@ -646,13 +669,16 @@ def encode_lanes_pipelined(
 
 
 def encode_lanes(
-    imgs: np.ndarray, cfg: CodecConfig = REV2, engine: str = "auto"
+    imgs: np.ndarray, cfg: CodecConfig = REV2, engine: str = "auto",
+    primed: bool = False,
 ) -> list[bytes]:
     """Encode a batch of equal-shaped lanes [S, H, W, C] -> per-lane streams.
 
     Each returned byte string is a complete headerless rev-2 entropy stream
     (the caller prepends the 6-byte header or records it in a container).
     engine: 'pallas' (fused kernels, default on TPU), 'xla', or 'auto'.
+    primed: start every model row at tables.PRIOR_SUB instead of zeros
+    (sliced-container flag bit 0; single-stream reference mode never primes).
     """
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
     S = imgs.shape[0]
@@ -671,7 +697,7 @@ def encode_lanes(
     if engine == "pallas":
         n_sym = int(np.prod(imgs.shape[1:]))
         outcap = _outcap(n_sym)
-        byts_g, lens_g = _pipeline_pallas_bytes(imgs, outcap, cfg)
+        byts_g, lens_g = _pipeline_pallas_bytes(imgs, outcap, cfg, primed)
         lens = np.asarray(lens_g).reshape(-1)
         if lens.max(initial=0) > outcap:  # cannot happen for the rev-2 coder
             raise AssertionError(
@@ -685,5 +711,5 @@ def encode_lanes(
         return [byts[s, : lens[s]].tobytes() for s in range(S)]
     counts = np.asarray(_count(imgs, cfg))
     cap = _bucket(int(counts.max()))
-    meta, runs = _pipeline(imgs, cap, cfg)
+    meta, runs = _pipeline(imgs, cap, cfg, primed)
     return coder.expand_slots_batch(np.asarray(meta), np.asarray(runs))

@@ -317,13 +317,24 @@ def _header(width: int, height: int, channels: int, cfg: CodecConfig) -> bytes:
     )
 
 
-def encode_planes(v: np.ndarray, cfg: CodecConfig = REV2) -> bytes:
+def prior_states(cfg: CodecConfig = REV2) -> np.ndarray:
+    """Primed-mode initial model: every context row starts at PRIOR_SUB.
+
+    Used by sliced containers with flag bit 0 set (tables.PRIOR_SUB); the
+    reference-compatible single-stream format always starts from zeros.
+    """
+    return np.tile(tables.PRIOR_SUB, cfg.num_states // cfg.substates)
+
+
+def encode_planes(v: np.ndarray, cfg: CodecConfig = REV2,
+                  primed: bool = False) -> bytes:
     """Entropy-code already-transformed int16 planes into a headerless stream."""
     hash_, diff = context_and_residual(v, cfg)
     ctx, bit, valid = binarize(diff, cfg)
     sym_hash = hash_.reshape(-1)
 
-    states = np.zeros(cfg.num_states, dtype=np.uint8)
+    states = (prior_states(cfg) if primed
+              else np.zeros(cfg.num_states, dtype=np.uint8))
     prob = tables.STATE_PROB
     nxt = tables.NEXT_STATE
     enc = RangeEncoder()

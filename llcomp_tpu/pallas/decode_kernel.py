@@ -113,8 +113,21 @@ def _sublane_gather(block, idx):
     return jnp.take_along_axis(block, idx_b, axis=0)[0:1, :]
 
 
+def _model_init(nrows: int, primed: bool) -> jnp.ndarray:
+    """Initial packed model block: zeros (reference semantics) or the
+    sliced-mode prior (tables.PRIOR_SUB; container flag bit 0).  Model word
+    2h holds hash h's substates 0-3, word 2h+1 substates 4-7, and NS4 is
+    even, so row parity alone picks the packed constant (trash rows beyond
+    the last hash row may hold anything)."""
+    if not primed:
+        return jnp.zeros((nrows, LANES), jnp.int32)
+    par = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0) & 1
+    return jnp.where(par == 0, jnp.int32(tables.PRIOR_LO),
+                     jnp.int32(tables.PRIOR_HI))
+
+
 def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
-                 interpret: bool, ablate: str = ""):
+                 interpret: bool, ablate: str = "", primed: bool = False):
     """``interpret=True`` swaps the three per-lane stage loops (model row
     pair in/out + byte window) for single vectorized gathers/scatters with
     identical semantics — the Mosaic-legal 128-iteration loops take minutes
@@ -149,7 +162,7 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
 
         @pl.when(chunk == 0)
         def _init():
-            model_ref[:] = jnp.zeros((NS4, LANES), jnp.int32)
+            model_ref[:] = _model_init(NS4, primed)
             lines_ref[:] = jnp.zeros((3 * stride, LANES), jnp.int32)
             err_ref[:] = jnp.zeros((8, LANES), jnp.int32)
             w0 = data_ref[0:1, :]
@@ -395,7 +408,8 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
 
 
 def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
-                         NSUB: int, interpret: bool, ablate: str = ""):
+                         NSUB: int, interpret: bool, ablate: str = "",
+                         primed: bool = False):
     """Hardware kernel: 8-symbol blocks x NSUB lane-groups per instance
     (requires stride % 8 == 0, C <= 8).
 
@@ -485,7 +499,7 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
 
         @pl.when(chunk == 0)
         def _init():
-            model_ref[:] = jnp.zeros((NSUB * NS4, LANES), jnp.int32)
+            model_ref[:] = _model_init(NSUB * NS4, primed)
             lines_ref[:] = jnp.zeros((LROWS * NSUB, LANES), jnp.int32)
             err_ref[:] = jnp.zeros((NSUB, LANES), jnp.int32)
             pend_ref[:] = jnp.zeros((2 * NSUB, LANES), jnp.int32)
@@ -791,17 +805,17 @@ def _use_interpret() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("H", "W", "C", "cfg")
+    jax.jit, static_argnames=("H", "W", "C", "cfg", "primed")
 )
 def decode_groups_images(data: jnp.ndarray, H: int, W: int, C: int,
-                         cfg: CodecConfig = REV2):
+                         cfg: CodecConfig = REV2, primed: bool = False):
     """Like decode_groups, but finishes on-device: un-permutes the planes,
     applies the inverse RCT and returns uint8 images [G*128, H, W, C] plus
     the per-lane error flags.  4x less device->host traffic than fetching
     the raw i32 planes (the tunnel link is the e2e decode bottleneck)."""
     from ..core import transform
 
-    planes, err = decode_groups(data, H, W, C, cfg)
+    planes, err = decode_groups(data, H, W, C, cfg, primed)
     G = data.shape[0]
     n_sym = H * W * C
     imgs = (
@@ -813,13 +827,13 @@ def decode_groups_images(data: jnp.ndarray, H: int, W: int, C: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("H", "W", "C", "cfg")
+    jax.jit, static_argnames=("H", "W", "C", "cfg", "primed")
 )
 def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
-                  cfg: CodecConfig = REV2):
+                  cfg: CodecConfig = REV2, primed: bool = False):
     """data [G, cap, 128] u8 (zero-padded, cap % 64 == 0) ->
     (planes [G, n_sym_pad, 128] i32, err [G, 8, 128] i32)."""
-    return _decode_groups_impl(data, H, W, C, cfg, "")
+    return _decode_groups_impl(data, H, W, C, cfg, "", primed)
 
 
 def _pick_nsub(G: int, cap: int) -> int:
@@ -833,7 +847,7 @@ def _pick_nsub(G: int, cap: int) -> int:
     return max(1, min(8 if cap <= 24576 else 4, G))
 
 
-def _decode_groups_impl(data, H, W, C, cfg, ablate):
+def _decode_groups_impl(data, H, W, C, cfg, ablate, primed=False):
     G, cap = data.shape[0], data.shape[1]
     n_sym = H * W * C
     n_chunks = -(-n_sym // SYMCHUNK)
@@ -866,7 +880,7 @@ def _decode_groups_impl(data, H, W, C, cfg, ablate):
             )
         d32 = d32.reshape(G_out, NSUB * cap4, LANES)
         kernel = _make_kernel_blocked(H, W, C, cap, cfg, NSUB, interpret,
-                                      ablate)
+                                      ablate, primed)
         LROWS = 32 + 3 * stride
         planes, err = pl.pallas_call(
             kernel,
@@ -918,7 +932,7 @@ def _decode_groups_impl(data, H, W, C, cfg, ablate):
         )
         return planes, err
 
-    kernel = _make_kernel(H, W, C, cap, cfg, interpret, ablate)
+    kernel = _make_kernel(H, W, C, cap, cfg, interpret, ablate, primed)
     scratch = [
         pltpu.VMEM((NS4, LANES), jnp.int32),
         pltpu.VMEM((3 * stride, LANES), jnp.int32),

@@ -167,7 +167,13 @@ def build_stream(hash_g: jnp.ndarray, diff_g: jnp.ndarray, n_sym: int,
 # operand of the compacting un-permute sort that feeds the range coder.
 
 
-def _make_symwalk_kernel(K: int):
+def _make_symwalk_kernel(K: int, primed: bool = False):
+    # fresh-context reset values: state 0 everywhere (reference semantics)
+    # or the sliced-mode per-substate prior packed 4-states-per-word
+    # (tables.PRIOR_SUB; container flag bit 0, tools/derive_prior.py)
+    rst_lo = int(tables.PRIOR_LO) if primed else 0   # Python ints: literals,
+    rst_hi = int(tables.PRIOR_HI) if primed else 0   # not captured tracers
+
     def kernel(xs_ref, prob_tab, ns0_tab, ns1_tab, outlo_ref, outhi_ref,
                lo_s, hi_s):
         """xs: (live << 13 | seg << 12 | diff+1274), sorted by (hash,
@@ -199,8 +205,8 @@ def _make_symwalk_kernel(K: int):
             seg = (x & (1 << 12)) != 0
             live = (x & (1 << 13)) != 0
             # fresh context: reset the whole 8-substate row
-            lo = jnp.where(seg, 0, lo)
-            hi = jnp.where(seg, 0, hi)
+            lo = jnp.where(seg, rst_lo, lo)
+            hi = jnp.where(seg, rst_hi, hi)
 
             ad = jnp.abs(d)
             e = jnp.zeros_like(ad)
@@ -264,8 +270,8 @@ def _make_symwalk_kernel(K: int):
 SYMCHUNK = 32             # symbols per walk grid step
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def walk_symbols(xs: jnp.ndarray, K: int = 24):
+@functools.partial(jax.jit, static_argnames=("K", "primed"))
+def walk_symbols(xs: jnp.ndarray, K: int = 24, primed: bool = False):
     """Sorted symbols [G, n_sym_pad, 8, 128] -> two quad-major pair-packed
     record streams (lo, hi), each [G, n_sym_pad*K/4, 8, 128] i32 (two
     10-bit records per word), for the compacting back sort
@@ -279,7 +285,7 @@ def walk_symbols(xs: jnp.ndarray, K: int = 24):
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
-        _make_symwalk_kernel(K),
+        _make_symwalk_kernel(K, primed),
         grid=(G, n_pad // SYMCHUNK),
         in_specs=[
             pl.BlockSpec((1, SYMCHUNK, SUBS, LANES), lambda g, c: (g, c, 0, 0),

@@ -49,7 +49,8 @@ def _pad_lanes(n: int, n_dev: int) -> int:
 
 
 def encode_lanes_sharded(
-    lanes: np.ndarray, mesh: Mesh, cfg: CodecConfig = REV2
+    lanes: np.ndarray, mesh: Mesh, cfg: CodecConfig = REV2,
+    primed: bool = False,
 ) -> list[bytes]:
     """Encode equal-shaped lanes [S, H, W, C], sharded over the mesh lane axis."""
     S = lanes.shape[0]
@@ -69,7 +70,7 @@ def encode_lanes_sharded(
     # partitioner cannot prove locality of the flat model gathers itself).
     fn = jax.jit(
         jax.shard_map(
-            lambda x: jencode._pipeline_impl(x, cap, cfg),
+            lambda x: jencode._pipeline_impl(x, cap, cfg, primed),
             mesh=mesh,
             in_specs=P(LANE_AXIS),
             out_specs=(P(None, LANE_AXIS), P(None, LANE_AXIS)),
@@ -82,7 +83,7 @@ def encode_lanes_sharded(
 
 def decode_lanes_sharded(
     streams: list[bytes], shape: tuple[int, int, int], mesh: Mesh,
-    cfg: CodecConfig = REV2,
+    cfg: CodecConfig = REV2, primed: bool = False,
 ) -> np.ndarray:
     H, W, C = shape
     S = len(streams)
@@ -97,7 +98,7 @@ def decode_lanes_sharded(
     dev = jax.device_put(data, sh_in)
     fn = jax.jit(
         jax.shard_map(
-            lambda x: jdecode._decode_impl(x, H, W, C, cfg),
+            lambda x: jdecode._decode_impl(x, H, W, C, cfg, primed),
             mesh=mesh,
             in_specs=P(LANE_AXIS),
             out_specs=(P(LANE_AXIS), P(LANE_AXIS)),
@@ -126,6 +127,7 @@ def compress_sharded(
     else:
         slice_h = max(1, -(-H // int(slices)))
     bounds = container.slice_bounds(H, slice_h)
+    primed = len(bounds) > 1 and api._pick_primed(img, cfg)
 
     by_shape: dict[int, list[int]] = {}
     for i, (y0, y1) in enumerate(bounds):
@@ -133,13 +135,19 @@ def compress_sharded(
     out: list[bytes] = [b""] * len(bounds)
     for rows, idxs in by_shape.items():
         stack = np.stack([img[bounds[i][0] : bounds[i][1]] for i in idxs])
-        for i, blob in zip(idxs, encode_lanes_sharded(stack, mesh, cfg)):
+        for i, blob in zip(
+            idxs, encode_lanes_sharded(stack, mesh, cfg, primed)
+        ):
             out[i] = blob
-    return container.pack_sliced(out, W, H, C, slice_h, cfg)
+    return container.pack_sliced(
+        out, W, H, C, slice_h, cfg,
+        flags=container.FLAG_PRIMED if primed else 0,
+    )
 
 
 def decompress_sharded(data: bytes, mesh: Mesh, cfg: CodecConfig = REV2) -> np.ndarray:
-    streams, W, H, C, slice_h = container.unpack_sliced(data, cfg)
+    streams, W, H, C, slice_h, flags = container.unpack_sliced(data, cfg)
+    primed = bool(flags & container.FLAG_PRIMED)
     bounds = container.slice_bounds(H, slice_h)
     out = np.empty((H, W, C), dtype=np.uint8)
     by_shape: dict[int, list[int]] = {}
@@ -147,7 +155,7 @@ def decompress_sharded(data: bytes, mesh: Mesh, cfg: CodecConfig = REV2) -> np.n
         by_shape.setdefault(y1 - y0, []).append(i)
     for rows, idxs in by_shape.items():
         lanes = decode_lanes_sharded(
-            [streams[i] for i in idxs], (rows, W, C), mesh, cfg
+            [streams[i] for i in idxs], (rows, W, C), mesh, cfg, primed
         )
         for k, i in enumerate(idxs):
             out[bounds[i][0] : bounds[i][1]] = lanes[k]

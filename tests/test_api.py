@@ -37,12 +37,56 @@ def test_sliced_auto():
 def test_sliced_streams_are_independent_reference_streams():
     """Each stripe payload is a valid headerless rev-2 stream of that stripe."""
     img = make_photo(24, 16)
-    blob = llcomp_tpu.compress(img, slices=3)
-    streams, W, H, C, slice_h = container.unpack_sliced(blob)
-    assert (W, H, C, slice_h, len(streams)) == (16, 24, 3, 8, 3)
+    blob = llcomp_tpu.compress(img, slices=3, primed=False)
+    streams, W, H, C, slice_h, flags = container.unpack_sliced(blob)
+    assert (W, H, C, slice_h, len(streams), flags) == (16, 24, 3, 8, 3, 0)
     for i, s in enumerate(streams):
         stripe = img[i * 8 : (i + 1) * 8]
         assert s == oracle.encode(stripe)[6:]
+
+
+def test_sliced_primed_streams_match_primed_oracle():
+    """Primed stripes = oracle encode with the PRIOR_SUB initial model."""
+    img = make_photo(24, 16)
+    blob = llcomp_tpu.compress(img, slices=3, primed=True)
+    streams, W, H, C, slice_h, flags = container.unpack_sliced(blob)
+    assert flags & container.FLAG_PRIMED
+    for i, s in enumerate(streams):
+        stripe = img[i * 8 : (i + 1) * 8]
+        ref = oracle.encode_planes(oracle.rct_forward(stripe), primed=True)
+        assert s == ref
+    np.testing.assert_array_equal(llcomp_tpu.decompress(blob), img)
+
+
+def test_primed_improves_photo_ratio():
+    """The model prior must pay for itself on photo-like content."""
+    img = make_photo(64, 64)
+    cold = llcomp_tpu.compress(img, slices="auto", primed=False)
+    primed = llcomp_tpu.compress(img, slices="auto", primed=True)
+    assert len(primed) < len(cold)
+    np.testing.assert_array_equal(llcomp_tpu.decompress(primed), img)
+    # the auto heuristic picks the prior for this content
+    auto = llcomp_tpu.compress(img, slices="auto")
+    assert auto == primed
+
+
+def test_primed_all_decode_engines_agree():
+    from llcomp_tpu import decode as jdec
+
+    img = make_photo(16, 16)
+    blob = llcomp_tpu.compress(img, slices=2, primed=True)
+    streams, W, H, C, slice_h, flags = container.unpack_sliced(blob)
+    ref = np.stack([img[:8], img[8:]])
+    for engine in ("decision", "lockstep", "rowbatch"):
+        out = jdec.decode_lanes(streams, (8, W, C), engine=engine, primed=True)
+        np.testing.assert_array_equal(out, ref)
+    # an unprimed decode of primed streams must NOT round-trip silently:
+    # either a corruption error or wrong pixels
+    try:
+        wrong = jdec.decode_lanes(streams, (8, W, C), engine="lockstep")
+        assert not np.array_equal(wrong, ref)
+    except ValueError:
+        pass
 
 
 def test_sliced_size_overhead_bounded():
@@ -108,11 +152,11 @@ def test_reencode_slice_heals_corrupt_stripe():
     original container (slice independence, SURVEY §5)."""
     img = make_photo(32, 16)
     blob = llcomp_tpu.compress(img, slices=4)
-    streams, W, H, C, slice_h = container.unpack_sliced(blob)
+    streams, W, H, C, slice_h, flags = container.unpack_sliced(blob)
     # corrupt slice 2's payload in place
     bad = list(streams)
     bad[2] = bytes([b ^ 0xFF for b in bad[2]])
-    broken = container.pack_sliced(bad, W, H, C, slice_h)
+    broken = container.pack_sliced(bad, W, H, C, slice_h, flags=flags)
     assert broken != blob
     y0, y1 = container.slice_bounds(H, slice_h)[2]
     healed = api.reencode_slice(broken, 2, img[y0:y1])
