@@ -219,12 +219,71 @@ def main() -> int:
             result["decode_error"] = str(e)[:200]
             result["vs_baseline"] = 0.0
 
+    # -- other BASELINE.md configs (encode + decode, smaller samples) -----
+    # BENCH_EXTRA=0 skips; each geometry pays its own one-time compile.
+    if os.environ.get("BENCH_EXTRA", "1") != "0" and CH == 3 and H == 512:
+        extras = {}
+        for (eh, ec, n_img) in ((2048, 3, 2), (256, 4, 16)):
+            try:
+                extras[f"{eh}x{eh}x{ec}"] = _run_config(eh, ec, n_img,
+                                                        slice_h, primed)
+            except Exception as e:
+                extras[f"{eh}x{eh}x{ec}"] = {"error": str(e)[:120]}
+        result["extra_configs"] = extras
+
     if os.environ.get("LLCT_PROFILE") == "1":
         from llcomp_tpu import profiling
 
         result["stage_profile"] = profiling.stages.report()
     print(json.dumps(result))
     return 0
+
+
+def _run_config(H: int, CH: int, n_images: int, slice_h: int, primed: bool):
+    """One compact encode+decode measurement for a non-headline geometry.
+
+    Same methodology as the headline: compile/warm on one batch, time on a
+    FRESH batch (the backend elides repeated identical executions).
+    """
+    engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    dec_engine = "pallas" if jax.default_backend() == "tpu" else "decision"
+    W = H
+    mp = n_images * H * W / 1e6
+
+    def batch(tag):
+        return np.concatenate(
+            [make_photo(H, W, c=CH, seed=6000 + tag * 31 + i).reshape(
+                H // slice_h, slice_h, W, CH) for i in range(n_images)]
+        )
+
+    warm = batch(0)
+    t0 = time.time()
+    wstreams = jenc.encode_lanes(warm, engine=engine, primed=primed)
+    jdec.decode_lanes(wstreams, (slice_h, W, CH), engine=dec_engine,
+                      primed=primed)
+    compile_s = time.time() - t0
+    fb = batch(1)
+    t0 = time.time()
+    streams = jenc.encode_lanes(fb, engine=engine, primed=primed)
+    enc_s = time.time() - t0
+    t0 = time.time()
+    out = jdec.decode_lanes(streams, (slice_h, W, CH), engine=dec_engine,
+                            primed=primed)
+    dec_s = time.time() - t0
+    enc_base = {(2048, 3): 3.8, (1024, 3): 4.1, (256, 4): 2.5}.get((H, CH), 4.0)
+    dec_base = {(2048, 3): 3.1, (1024, 3): 3.4, (256, 4): 2.3}.get((H, CH), 3.5)
+    return {
+        "encode_mps": round(mp / enc_s, 3),
+        "decode_mps_e2e": round(mp / dec_s, 3),
+        "encode_vs_baseline": round(mp / enc_s / enc_base, 3),
+        "decode_vs_baseline": round(mp / dec_s / dec_base, 3),
+        "compression_ratio": round(
+            n_images * H * W * CH / sum(len(s) for s in streams), 3
+        ),
+        "roundtrip_exact": bool(np.array_equal(out, fb)),
+        "images": n_images,
+        "compile_s": round(compile_s, 1),
+    }
 
 
 if __name__ == "__main__":

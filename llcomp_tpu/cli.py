@@ -13,11 +13,20 @@ Like the reference, ``compress`` writes ``<input>.llcomp`` by default (or
 from __future__ import annotations
 
 import argparse
+import os
 import pathlib
 import sys
 import time
 
 import numpy as np
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # honor JAX_PLATFORMS=cpu for off-chip runs: some TPU plugins
+    # (e.g. axon's sitecustomize) re-register their platform, so the env
+    # var alone is not enough — force it through jax.config too
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from . import container
 from .core.config import EXT, EXT_SLICED
