@@ -49,7 +49,7 @@ def pick_slice_height(height: int, width: int, channels: int,
     return max(1, min(height, rows, max_rows))
 
 
-# Encoder policy for the sliced-mode model prior (tables.PRIOR_SUB): priming
+# Encoder policy for the sliced-mode model prior (tables.PRIOR_TAB): priming
 # helps photographic/noisy content (+13-20% ratio, tools/derive_prior.py) but
 # hurts very flat content whose model wants the zero-leaning state-0 start.
 # The zero-residual fraction separates the two regimes; the container flag
@@ -87,8 +87,8 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
     slices='auto' or an int n -> sliced container with n independent stripes,
     encoded lane-parallel on the accelerator.
     revision=0 -> the legacy llcomp.js bitstream (magic 0x77, float model).
-    primed (sliced mode only): start each stripe's model at tables.PRIOR_SUB
-    instead of zeros — recovers most of the per-stripe restart ratio loss on
+    primed (sliced mode only): start each stripe's context row h at the
+    hash-bucketed prior tables.PRIOR_TAB[h % 121] instead of zeros — recovers most of the per-stripe restart ratio loss on
     photographic content.  None = decide per image (_pick_primed).
     """
     img = _as_image(img)

@@ -17,7 +17,7 @@ Two on-disk formats:
       4   1   container version (1)
       5   1   codec revision (2)
       6   1   channels
-      7   1   flags (bit 0: model primed with tables.PRIOR_SUB)
+      7   1   flags (bit 0: model primed with tables.PRIOR_TAB[h % 121])
       8   4   width  u32
       12  4   height u32
       16  4   slice height u32 (last slice may be shorter)
@@ -39,7 +39,7 @@ from .core.config import REV2, CodecConfig
 
 MAGIC_SLICED = b"LLCT"
 CONTAINER_VERSION = 1
-FLAG_PRIMED = 1  # slice models start at tables.PRIOR_SUB instead of zeros
+FLAG_PRIMED = 1  # context row h starts at tables.PRIOR_TAB[h % 121]
 
 
 def pack_single(stream: bytes, width: int, height: int, channels: int,

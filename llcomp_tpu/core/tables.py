@@ -77,22 +77,72 @@ del _i
 
 # Sliced-container model prior ("primed" mode, container flag bit 0).
 # The reference format has no sliced mode, so stripe model restarts are this
-# framework's own problem; resetting every context row to these per-substate
-# states instead of state 0 recovers ~70% of the restart ratio loss on
-# photographic content for zero stored bytes (derivation + measurements:
-# tools/derive_prior.py).  Substate k of EVERY context hash starts at
-# PRIOR_SUB[k]: 0 = zero-flag (residuals mostly nonzero on photos), 1-4 =
-# exponent unary (continuation likely early, unlikely late), 5-6 = mantissa,
-# 7 = sign (both near 50/50).  FORMAT CONSTANTS of primed sliced containers:
-# encoder and decoder must agree forever; never regenerate in place.
+# framework's own problem.  The prior is HASH-BUCKETED: the context row of
+# hash h starts at PRIOR_TAB[h % 121] — the bucket index is the hash's two
+# low quantizer components q11(l-tl) + 11*q11(tl-t), i.e. how locally busy
+# the neighborhood is.  Measured on the bench corpus at 8-row stripes this
+# recovers ~94% of the stripe-restart ratio loss (1.892 cold -> 2.186
+# bucketed vs 2.075 for a single constant row and 2.199 unsliced) for zero
+# stored bytes (derivation + measurements: tools/derive_prior.py and
+# tools/eval_bucketed_prior.py).  Substate k of a row: 0 = zero-flag, 1-4 =
+# exponent unary, 5-6 = mantissa, 7 = sign.  FORMAT CONSTANTS of primed
+# sliced containers: encoder and decoder must agree forever; never
+# regenerate in place.
+PRIOR_TAB = np.frombuffer(bytes.fromhex(
+    "0017030e2c0c06062c0d0828560c0a053c1f0022620a08135e3b1708480804257e71"
+    "3915180602417e7f7f7f7e011d7f01010101010101017e714f1f140802544e2d1108"
+    "3a0a062c3a1b0226520c0a10220d082a540e0a062a0d0628520e081030130828560c"
+    "0a023a1d0020560c0a09563713084608061d7e713b17180802370101010101010101"
+    "01010101010101017e77471b1606024c4e2f0f0a3c0a041e3a1d0026560c080a3a1b"
+    "0024560c08143c1f0124540c081c3a1b0020540c080e3c1f01184e0c080056351308"
+    "400a040f7e6335131c0602257e7f017f0101117f7e7f7f270108027e7e6739151a08"
+    "023c5a3b15063c08041854330f0c400a061c563513083c0806285e3b17063c0a0430"
+    "543515063c0a042456351306380a04145e3b19023208040076572d0d200804130101"
+    "0101010101017e7f7f550206027e7e77411d120802367e6739131a0602387e713d17"
+    "180802407e6b471b160602467e774119140602487e6b3b19180602407e6739151806"
+    "022c765b330f1e08021676552b0b2608040001010101010101017e7f7f15030b0e7e"
+    "7e7f7f3d020a02767e7f7745060a017e7e4f7f7f00150a7e7e7f7f7f0e01087e0101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "010101010101010101010101010101017e7f7f7e017e7f7f01010101010101010101"
+    "010101010101765f3d0736080a0670572d072e0602097e47290724040611765b2b11"
+    "2408021f7e533d13200a02257e672f0d200a04297e572d0b2406022376552d0b2406"
+    "04177e633913180602217e7f6b57040c0c7f01010101010101017e5f37111c080220"
+    "4a290f022c0a060840230510380a060f4e2f0b10460a041b5235110e5208041f5231"
+    "110c4a0a061752310f0c480a060f5a3917064008060d765f370f1c0802297e7f7f6b"
+    "0208087f01010101010101017e6b41191606043c4a2b0d0a320a061e3a19021e4a0c"
+    "08003a190226540c0a053a1d0024560c080d381902224e0c08073a1d001e560c0805"
+    "5635130a440806177e6339131c0602357e7f7f45040e1a7f01010101010101017e7f"
+    "491d120404544e2d1106360a042a38190220520c0a0c34130428560c0c042e0f0828"
+    "560e0c0330130628440c0a023a1b0224520a080b5e39150a480806217e713b151808"
+    "02397e7f7f7f0e01097f01010101010101017e7f4f211004045a5433130634080638"
+    "3a1d0022520c0a18300f062a560c0a0e"
+), dtype=np.uint8).reshape(121, 8).copy()
+PRIOR_BUCKETS = 121
+
+# Previous single-row constant, kept as the derivation fallback for buckets
+# with no training evidence (tools/derive_prior.py).
 PRIOR_SUB = np.array([66, 41, 13, 6, 42, 10, 6, 6], dtype=np.uint8)
 
-# Packed forms for the kernel register layout (4 substates x 8 bits per i32).
-# (int() each lane BEFORE shifting: uint8 << 8 wraps to 0 under numpy.)
-_p = [int(x) for x in PRIOR_SUB]
-PRIOR_LO = _p[0] | _p[1] << 8 | _p[2] << 16 | _p[3] << 24
-PRIOR_HI = _p[4] | _p[5] << 8 | _p[6] << 16 | _p[7] << 24
-del _p
+# Packed per-bucket forms for the kernel register layout (4 substates x
+# 8 bits per i32), padded to 128 entries for lane-axis dynamic_gather.
+_t = PRIOR_TAB.astype(np.int32)
+_lo = _t[:, 0] | _t[:, 1] << 8 | _t[:, 2] << 16 | _t[:, 3] << 24
+_hi = _t[:, 4] | _t[:, 5] << 8 | _t[:, 6] << 16 | _t[:, 7] << 24
+PRIOR_LO121 = np.zeros(128, np.int32)
+PRIOR_HI121 = np.zeros(128, np.int32)
+PRIOR_LO121[:PRIOR_BUCKETS] = _lo
+PRIOR_HI121[:PRIOR_BUCKETS] = _hi
+del _t, _lo, _hi
+
+
+def prior_full(num_states: int, substates: int = 8) -> np.ndarray:
+    """Flat per-cidx initial-state map [num_states] for primed mode."""
+    nh = num_states // substates
+    return np.ascontiguousarray(
+        PRIOR_TAB[np.arange(nh) % PRIOR_BUCKETS]
+    ).reshape(-1)
 
 
 def quant5(x) -> np.ndarray:

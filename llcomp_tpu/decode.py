@@ -48,12 +48,12 @@ _ZF, _EXP, _MANT, _SIGN, _DONE = 0, 1, 2, 3, 4
 
 def _init_states(S: int, cfg: CodecConfig, primed: bool, pad: int):
     """Per-lane model init: zeros (reference semantics) or the sliced-mode
-    per-substate prior (tables.PRIOR_SUB, container flag bit 0); ``pad``
+    hash-bucketed prior (tables.PRIOR_TAB, container flag bit 0); ``pad``
     trash slots per lane stay zero either way."""
     if not primed:
         return jnp.zeros((S * (cfg.num_states + pad),), jnp.uint8)
     row = np.concatenate([
-        np.tile(tables.PRIOR_SUB, cfg.num_states // cfg.substates),
+        tables.prior_full(cfg.num_states, cfg.substates),
         np.zeros((pad,), np.uint8),
     ])
     return jnp.asarray(np.tile(row, S))
@@ -669,8 +669,9 @@ def decode_lanes(
     on hardware since round 2 — see pallas/decode_kernel.py), 'decision'
     (while_loop, per-lane pacing; the XLA default), 'lockstep' (fixed
     24-step inner loop), 'rowbatch', or 'auto'.
-    primed: start every model row at tables.PRIOR_SUB instead of zeros
-    (sliced containers with flag bit 0; see tools/derive_prior.py).
+    primed: start context row h at the hash-bucketed prior
+    tables.PRIOR_TAB[h % 121] instead of zeros (sliced containers with
+    flag bit 0; see tools/derive_prior.py).
     """
     H, W, C = shape
     S = len(streams)

@@ -102,8 +102,8 @@ def _probability_prepass(compact: jnp.ndarray, cfg: CodecConfig,
     )
     seg_start = skey != prev
     if primed:
-        rst = jnp.asarray(tables.PRIOR_SUB)[
-            jnp.where(skey >= 0, skey % cfg.substates, 0)
+        rst = jnp.asarray(tables.prior_full(cfg.num_states, cfg.substates))[
+            jnp.clip(skey, 0, cfg.num_states - 1)
         ]
     else:
         rst = jnp.zeros(skey.shape, jnp.uint8)
@@ -164,7 +164,7 @@ def _pipeline_impl_modelscan(imgs: jnp.ndarray, cap: int,
     NS = cfg.num_states
     if primed:                                           # +1 trash slot/lane
         row = np.concatenate([
-            np.tile(tables.PRIOR_SUB, NS // cfg.substates),
+            tables.prior_full(NS, cfg.substates),
             np.zeros((1,), np.uint8),
         ])
         states0 = jnp.asarray(np.tile(row, S))
@@ -337,10 +337,12 @@ def _stage_fwd_sort(stream_g):
 def _stage_sym_sort(hash_g, diff_g, n_sym: int):
     """Symbol-granular context sort (docs/DESIGN.md): sort *symbols* by
     (hash, position) — n_sym elements/lane instead of n_sym*K decision
-    slots.  Returns the walk kernel's input (live << 13 | seg << 12 |
-    diff+1274) plus the sorted original symbol positions as their own i32
-    array, so the walk kernel never carries position bits and the stream
-    budget is set by the i64 quad key alone (2^25 positions, not 2^17).
+    slots.  Returns the walk kernel's input (bucket << 14 | live << 13 |
+    seg << 12 | diff+1274) plus the sorted original symbol positions as
+    their own i32 array, so the walk kernel never carries position bits and
+    the stream budget is set by the i64 quad key alone (2^25 positions, not
+    2^17).  ``bucket`` = hash % 121 selects the primed-mode reset row
+    (tables.PRIOR_TAB); unprimed walks ignore it.
 
     Key layout (55 bits): hash[13] | sympos[30] | diff+1274[12]; symbol
     padding gets hash 0x1FFF so it sorts after every real context run.
@@ -359,7 +361,8 @@ def _stage_sym_sort(hash_g, diff_g, n_sym: int):
     )
     seg = (h_s != prev).astype(jnp.int32)
     live_s = (h_s != 0x1FFF).astype(jnp.int32)
-    return (live_s << 13) | (seg << 12) | d12, origsym
+    bucket = h_s % np.int32(tables.PRIOR_BUCKETS)
+    return (bucket << 14) | (live_s << 13) | (seg << 12) | d12, origsym
 
 
 @functools.partial(jax.jit, static_argnames=("K", "Tq"))
@@ -446,13 +449,23 @@ def _stage_expand(meta_g, runs_g, fin, outcap: int):
     return coder.expand_slots_on_device_grouped(meta_g, runs_g, outcap)
 
 
+@jax.jit
+def _stage_finish(fin):
+    """Final coder carries -> the two flush records + per-lane lengths.
+
+    Split from the byte expansion so the (tiny) lengths can be synced
+    FIRST and the expansion compiled at the actual max length instead of
+    the raw*1.5 worst-case bound — the expansion's probe count, fill sweep
+    and extract sort all scale with that cap (~3x smaller on photo data).
+    """
+    G = fin.shape[0]
+    return coder.finish_steps_grouped_off(fin.reshape(G, 5, 1, 8, 128))
+
+
 @functools.partial(jax.jit, static_argnames=("outcap",))
-def _stage_expand_fused(kp_g, fin, outcap: int):
-    """Offset-packed byte records + final carries -> bytes + lengths."""
-    G = kp_g.shape[0]
-    fin = fin.reshape(G, 5, 1, 8, 128)
-    kp_fin, lens = coder.finish_steps_grouped_off(fin)
-    return coder.expand_kp_grouped(kp_g, kp_fin, outcap), lens
+def _stage_expand_only(kp_g, kp_fin, outcap: int):
+    """Offset-packed byte records + flush records -> byte buffers."""
+    return coder.expand_kp_grouped(kp_g, kp_fin, outcap)
 
 
 def _group_host(imgs: np.ndarray) -> np.ndarray:
@@ -567,9 +580,7 @@ def _launch_stage_rest(ctx, outcap: int, speculate: bool = True,
         probs_g = pk.walk_probs(_stage_walk_xs(skey, spay))
         coder_xs = _stage_back_sort(skey, spay, probs_g)
     kp_g, fin = profiling.timed("encode/coder", pk.coder_scan_off, coder_xs)
-    byts, lens = profiling.timed(
-        "encode/byte_expand", _stage_expand_fused, kp_g, fin, outcap
-    )
+    kp_fin, lens = profiling.timed("encode/finish", _stage_finish, fin)
 
     def check() -> bool:
         sm = int(sym_max)
@@ -590,7 +601,27 @@ def _launch_stage_rest(ctx, outcap: int, speculate: bool = True,
             and _bucket(qm, quantum=2048) <= Tq_req
         )
 
-    return byts, lens, check
+    return kp_g, kp_fin, lens, check
+
+
+def _collect_bytes(kp_g, kp_fin, lens, outcap: int):
+    """Sync lengths, expand at the actual cap, start the D2H copy.
+
+    Returns (device byte buffer [G, cap2, 8, 128], lens np [S_padded]).
+    The expansion of this batch overlaps later batches' device chains in
+    the pipelined path because it is dispatched only here, after the
+    (tiny) length sync.
+    """
+    lens_np = np.asarray(lens).reshape(-1)
+    maxlen = int(lens_np.max(initial=1))
+    if maxlen > outcap:  # cannot happen for the rev-2 coder
+        raise AssertionError(f"stream overflow: {maxlen} > bound {outcap}")
+    cap2 = min(outcap, max(1024, -(-maxlen // 1024) * 1024))
+    byts = profiling.timed(
+        "encode/byte_expand", _stage_expand_only, kp_g, kp_fin, cap2
+    )
+    byts.copy_to_host_async()
+    return byts, lens_np
 
 
 def _pipeline_pallas_bytes(imgs: np.ndarray, outcap: int,
@@ -599,13 +630,13 @@ def _pipeline_pallas_bytes(imgs: np.ndarray, outcap: int,
 
     Slot records (GBs for big batches) never leave HBM; only the compacted
     byte buffers and per-lane lengths transfer to the host.  Returns
-    (bytes [G, outcap, 8, 128] u8, lens [G, 1, 8, 128] i32).
+    (bytes [G, cap2, 8, 128] u8 device buffer, lens np [S_padded]).
     """
-    byts, lens, check = _pipeline_pallas_launch(imgs, outcap, cfg,
-                                                speculate=False,
-                                                primed=primed)
+    kp_g, kp_fin, lens, check = _pipeline_pallas_launch(
+        imgs, outcap, cfg, speculate=False, primed=primed
+    )
     check()  # record buckets for future speculative launches
-    return byts, lens
+    return _collect_bytes(kp_g, kp_fin, lens, outcap)
 
 
 _pipeline = jax.jit(_pipeline_impl, static_argnames=("cap", "cfg", "primed"))
@@ -645,24 +676,23 @@ def encode_lanes_pipelined(
         imgs = ctx[0]
         n_sym = int(np.prod(imgs.shape[1:]))
         outcap = _outcap(n_sym)
-        byts_g, lens_g, check = _launch_stage_rest(ctx, outcap,
-                                                  speculate=False,
-                                                  primed=primed)
-        inflight.append((imgs, outcap, byts_g, lens_g, check))
+        kp_g, kp_fin, lens_g, check = _launch_stage_rest(
+            ctx, outcap, speculate=False, primed=primed
+        )
+        inflight.append((imgs, outcap, kp_g, kp_fin, lens_g, check))
 
-    # two-step collect: sync each batch's (tiny) lens, slice the occupied
-    # byte prefix and start its device->host copy, THEN materialize — so a
-    # batch's bytes stream back while later batches are still computing
+    # two-step collect: sync each batch's (tiny) lens, dispatch its byte
+    # expansion at the actual max length and start the device->host copy,
+    # THEN materialize — a batch's bytes stream back (and its expansion
+    # runs) while later batches' chains are still computing
     ready = []
-    for imgs, outcap, byts_g, lens_g, check in inflight:
+    for imgs, outcap, kp_g, kp_fin, lens_g, check in inflight:
         check()
-        lens = np.asarray(lens_g).reshape(-1)
-        cap2 = min(outcap, max(1024, -(-int(lens.max(initial=1)) // 1024) * 1024))
-        b2 = byts_g[:, :cap2]
-        b2.copy_to_host_async()
-        ready.append((imgs.shape[0], cap2, b2, lens))
+        b2, lens = _collect_bytes(kp_g, kp_fin, lens_g, outcap)
+        ready.append((imgs.shape[0], b2, lens))
     out = []
-    for S, cap2, b2, lens in ready:
+    for S, b2, lens in ready:
+        cap2 = b2.shape[1]
         byts = np.asarray(b2).transpose(0, 2, 3, 1).reshape(-1, cap2)
         out.append([byts[s, : lens[s]].tobytes() for s in range(S)])
     return out
@@ -677,8 +707,9 @@ def encode_lanes(
     Each returned byte string is a complete headerless rev-2 entropy stream
     (the caller prepends the 6-byte header or records it in a container).
     engine: 'pallas' (fused kernels, default on TPU), 'xla', or 'auto'.
-    primed: start every model row at tables.PRIOR_SUB instead of zeros
-    (sliced-container flag bit 0; single-stream reference mode never primes).
+    primed: start context row h at the hash-bucketed prior
+    tables.PRIOR_TAB[h % 121] instead of zeros (sliced-container flag
+    bit 0; single-stream reference mode never primes).
     """
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
     S = imgs.shape[0]
@@ -697,17 +728,9 @@ def encode_lanes(
     if engine == "pallas":
         n_sym = int(np.prod(imgs.shape[1:]))
         outcap = _outcap(n_sym)
-        byts_g, lens_g = _pipeline_pallas_bytes(imgs, outcap, cfg, primed)
-        lens = np.asarray(lens_g).reshape(-1)
-        if lens.max(initial=0) > outcap:  # cannot happen for the rev-2 coder
-            raise AssertionError(
-                f"stream overflow: {lens.max()} > bound {outcap}"
-            )
-        # transfer only the occupied prefix (the host link is slow here)
-        cap2 = min(outcap, max(1024, -(-int(lens.max(initial=1)) // 1024) * 1024))
-        byts = (
-            np.asarray(byts_g[:, :cap2]).transpose(0, 2, 3, 1).reshape(-1, cap2)
-        )
+        byts_g, lens = _pipeline_pallas_bytes(imgs, outcap, cfg, primed)
+        cap2 = byts_g.shape[1]
+        byts = np.asarray(byts_g).transpose(0, 2, 3, 1).reshape(-1, cap2)
         return [byts[s, : lens[s]].tobytes() for s in range(S)]
     counts = np.asarray(_count(imgs, cfg))
     cap = _bucket(int(counts.max()))

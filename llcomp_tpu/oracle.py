@@ -318,12 +318,13 @@ def _header(width: int, height: int, channels: int, cfg: CodecConfig) -> bytes:
 
 
 def prior_states(cfg: CodecConfig = REV2) -> np.ndarray:
-    """Primed-mode initial model: every context row starts at PRIOR_SUB.
+    """Primed-mode initial model: context row h starts at PRIOR_TAB[h % 121].
 
-    Used by sliced containers with flag bit 0 set (tables.PRIOR_SUB); the
-    reference-compatible single-stream format always starts from zeros.
+    Used by sliced containers with flag bit 0 set (hash-bucketed prior,
+    tables.PRIOR_TAB); the reference-compatible single-stream format always
+    starts from zeros.
     """
-    return np.tile(tables.PRIOR_SUB, cfg.num_states // cfg.substates)
+    return tables.prior_full(cfg.num_states, cfg.substates)
 
 
 def encode_planes(v: np.ndarray, cfg: CodecConfig = REV2,

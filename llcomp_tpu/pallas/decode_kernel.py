@@ -113,17 +113,25 @@ def _sublane_gather(block, idx):
     return jnp.take_along_axis(block, idx_b, axis=0)[0:1, :]
 
 
+# Hash-bucketed prior as a row-periodic pattern: model word 2h holds hash
+# h's substates 0-3 (packed LO), word 2h+1 substates 4-7 (HI), and the
+# bucket is h % 121, so the init value repeats every 2*121 = 242 rows.
+_PRIOR_ROWPAT = np.empty((242, 1), np.int32)
+_PRIOR_ROWPAT[0::2, 0] = tables.PRIOR_LO121[:121]
+_PRIOR_ROWPAT[1::2, 0] = tables.PRIOR_HI121[:121]
+
+
 def _model_init(nrows: int, primed: bool) -> jnp.ndarray:
     """Initial packed model block: zeros (reference semantics) or the
-    sliced-mode prior (tables.PRIOR_SUB; container flag bit 0).  Model word
-    2h holds hash h's substates 0-3, word 2h+1 substates 4-7, and NS4 is
-    even, so row parity alone picks the packed constant (trash rows beyond
-    the last hash row may hold anything)."""
+    sliced-mode hash-bucketed prior (tables.PRIOR_TAB; container flag
+    bit 0).  The prior is a 242-row-periodic pattern (see _PRIOR_ROWPAT),
+    tiled and trimmed — no gathers (trash rows beyond the last hash row
+    may hold anything)."""
     if not primed:
         return jnp.zeros((nrows, LANES), jnp.int32)
-    par = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 0) & 1
-    return jnp.where(par == 0, jnp.int32(tables.PRIOR_LO),
-                     jnp.int32(tables.PRIOR_HI))
+    reps = -(-nrows // 242)
+    pat = jnp.tile(jnp.asarray(_PRIOR_ROWPAT), (reps, LANES))
+    return pat[:nrows]
 
 
 def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,

@@ -47,6 +47,10 @@ TCHUNK = 512                  # decision steps per grid chunk
 _PROB_B = np.broadcast_to(tables.STATE_PROB.astype(np.int32), (SUBS, LANES))
 _NS0_B = np.broadcast_to(tables.NEXT_STATE[0::2].astype(np.int32), (SUBS, LANES))
 _NS1_B = np.broadcast_to(tables.NEXT_STATE[1::2].astype(np.int32), (SUBS, LANES))
+# hash-bucketed sliced-mode prior rows, packed 4 substates per i32 and
+# padded 121 -> 128 buckets (tables.PRIOR_TAB; container flag bit 0)
+_PRIOR_LO_B = np.broadcast_to(tables.PRIOR_LO121, (SUBS, LANES))
+_PRIOR_HI_B = np.broadcast_to(tables.PRIOR_HI121, (SUBS, LANES))
 
 
 def _lut(table_block, idx):
@@ -168,25 +172,22 @@ def build_stream(hash_g: jnp.ndarray, diff_g: jnp.ndarray, n_sym: int,
 
 
 def _make_symwalk_kernel(K: int, primed: bool = False):
-    # fresh-context reset values: state 0 everywhere (reference semantics)
-    # or the sliced-mode per-substate prior packed 4-states-per-word
-    # (tables.PRIOR_SUB; container flag bit 0, tools/derive_prior.py)
-    rst_lo = int(tables.PRIOR_LO) if primed else 0   # Python ints: literals,
-    rst_hi = int(tables.PRIOR_HI) if primed else 0   # not captured tracers
-
-    def kernel(xs_ref, prob_tab, ns0_tab, ns1_tab, outlo_ref, outhi_ref,
-               lo_s, hi_s):
-        """xs: (live << 13 | seg << 12 | diff+1274), sorted by (hash,
-        position) along the symbol axis (|diff| <= 1274, SURVEY §2.4, so the
-        residual field needs exactly 12 bits).  Emits PAIR-packed coder
-        records (rec_{2m+1} << 10 | rec_{2m}, rec = valid<<9|bit<<8|prob,
-        invalid slots 0) as TWO quad-major streams — outlo holds each
-        quad's first pair (slots 4q,4q+1), outhi its second (4q+2,4q+3) —
-        so the compact stage's i64 key assembly reads two CONTIGUOUS
-        arrays instead of stride-2 slices (device relayouts cost ~1 s/GB
-        on this backend).  Positions never enter the kernel — the
-        compacting sort key is assembled outside from the sorted symbol
-        positions."""
+    def kernel(xs_ref, prob_tab, ns0_tab, ns1_tab, plo_tab, phi_tab,
+               outlo_ref, outhi_ref, lo_s, hi_s):
+        """xs: (bucket << 14 | live << 13 | seg << 12 | diff+1274), sorted
+        by (hash, position) along the symbol axis (|diff| <= 1274, SURVEY
+        §2.4, so the residual field needs exactly 12 bits).  Emits
+        PAIR-packed coder records (rec_{2m+1} << 10 | rec_{2m}, rec =
+        valid<<9|bit<<8|prob, invalid slots 0) as TWO quad-major streams —
+        outlo holds each quad's first pair (slots 4q,4q+1), outhi its
+        second (4q+2,4q+3) — so the compact stage's i64 key assembly reads
+        two CONTIGUOUS arrays instead of stride-2 slices (device relayouts
+        cost ~1 s/GB on this backend).  Positions never enter the kernel —
+        the compacting sort key is assembled outside from the sorted
+        symbol positions.  Fresh contexts reset the packed 8-substate row
+        to zeros (reference semantics) or, when primed, to the
+        hash-bucketed prior row plo/phi[bucket] (tables.PRIOR_LO/HI121,
+        container flag bit 0)."""
         tchunk = pl.program_id(1)
 
         @pl.when(tchunk == 0)
@@ -197,6 +198,8 @@ def _make_symwalk_kernel(K: int, primed: bool = False):
         ptab = prob_tab[:]
         n0 = ns0_tab[:]
         n1 = ns1_tab[:]
+        plo = plo_tab[:]
+        phi = phi_tab[:]
 
         def sym_step(j, carry):
             lo, hi = carry
@@ -205,6 +208,13 @@ def _make_symwalk_kernel(K: int, primed: bool = False):
             seg = (x & (1 << 12)) != 0
             live = (x & (1 << 13)) != 0
             # fresh context: reset the whole 8-substate row
+            if primed:
+                b = (x >> 14) & 0x7F
+                rst_lo = _lut(plo, b)
+                rst_hi = _lut(phi, b)
+            else:
+                rst_lo = 0
+                rst_hi = 0
             lo = jnp.where(seg, rst_lo, lo)
             hi = jnp.where(seg, rst_hi, hi)
 
@@ -296,6 +306,10 @@ def walk_symbols(xs: jnp.ndarray, K: int = 24, primed: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBS, LANES), lambda g, c: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBS, LANES), lambda g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBS, LANES), lambda g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(qspec, qspec),
         out_shape=(qshape, qshape),
@@ -306,6 +320,8 @@ def walk_symbols(xs: jnp.ndarray, K: int = 24, primed: bool = False):
         jnp.asarray(_PROB_B),
         jnp.asarray(_NS0_B),
         jnp.asarray(_NS1_B),
+        jnp.asarray(_PRIOR_LO_B),
+        jnp.asarray(_PRIOR_HI_B),
     )
 
 

@@ -49,10 +49,11 @@ def fresh(tag: int) -> np.ndarray:
 
 def run_chain(imgs_np, imgs_g):
     hg, dg, counts = jenc._stage_precompute_g(imgs_g, SLICE_H, W, CH, REV2)
-    return jenc._launch_stage_rest(
+    kp_g, kp_fin, lens, _ = jenc._launch_stage_rest(
         (imgs_np, hg, dg, counts, REV2), jenc._outcap(N_SYM),
         speculate=False, primed=True,
     )
+    return kp_g, kp_fin, lens
 
 
 def main() -> None:
@@ -85,12 +86,13 @@ def main() -> None:
     print(f"b) upload:            {t_upload:.3f} s/batch "
           f"(dispatch returned after {t_disp:.3f})", flush=True)
 
-    # (c) device chain only, inputs already resident
+    # (c) device chain only (incl. the lens sync + expansion), inputs resident
     t0 = time.time()
     res = [run_chain(b, u) for b, u in zip(bs, ups)]
-    for byts, lens, _ in res:
-        lens.block_until_ready()
-        byts.block_until_ready()
+    done = [jenc._collect_bytes(kp, kf, ln, jenc._outcap(N_SYM))
+            for kp, kf, ln in res]
+    for b2, _ in done:
+        b2.block_until_ready()
     t_chain = (time.time() - t0) / NB
     print(f"c) device chain only: {t_chain:.3f} s/batch "
           f"= {MP / t_chain:.2f} MP/s", flush=True)
@@ -102,14 +104,9 @@ def main() -> None:
         u.block_until_ready()
     t0 = time.time()
     res = [run_chain(b, u) for b, u in zip(bs, ups)]
-    ready = []
-    for byts, lens, _ in res:
-        ln = np.asarray(lens).reshape(-1)
-        cap2 = max(1024, -(-int(ln.max(initial=1)) // 1024) * 1024)
-        b2 = byts[:, :cap2]
-        b2.copy_to_host_async()
-        ready.append(b2)
-    outs = [np.asarray(b2) for b2 in ready]
+    done = [jenc._collect_bytes(kp, kf, ln, jenc._outcap(N_SYM))
+            for kp, kf, ln in res]
+    outs = [np.asarray(b2) for b2, _ in done]
     t_cd = (time.time() - t0) / NB
     print(f"d) chain + download:  {t_cd:.3f} s/batch = {MP / t_cd:.2f} MP/s",
           flush=True)
@@ -139,14 +136,9 @@ def main() -> None:
     for _ in range(NB):
         b, u = q.get()
         inflight.append(run_chain(b, u))
-    ready = []
-    for byts, lens, _ in inflight:
-        ln = np.asarray(lens).reshape(-1)
-        cap2 = max(1024, -(-int(ln.max(initial=1)) // 1024) * 1024)
-        b2 = byts[:, :cap2]
-        b2.copy_to_host_async()
-        ready.append(b2)
-    outs = [np.asarray(b2) for b2 in ready]
+    done = [jenc._collect_bytes(kp, kf, ln, jenc._outcap(N_SYM))
+            for kp, kf, ln in inflight]
+    outs = [np.asarray(b2) for b2, _ in done]
     th.join()
     t_thr = (time.time() - t0) / NB
     print(f"f) threaded uploads:  {t_thr:.3f} s/batch = {MP / t_thr:.2f} MP/s",
@@ -167,13 +159,9 @@ def main() -> None:
     def collector():
         got = []
         for _ in range(NB):
-            byts, lens, _ = outq.get()
-            ln = np.asarray(lens).reshape(-1)
-            cap2 = max(1024, -(-int(ln.max(initial=1)) // 1024) * 1024)
-            b2 = byts[:, :cap2]
-            b2.copy_to_host_async()
-            got.append(b2)
-        return [np.asarray(b2) for b2 in got]
+            kp, kf, ln = outq.get()
+            got.append(jenc._collect_bytes(kp, kf, ln, jenc._outcap(N_SYM)))
+        return [np.asarray(b2) for b2, _ in got]
 
     t0 = time.time()
     th = threading.Thread(target=uploader2)
