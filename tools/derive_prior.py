@@ -19,10 +19,18 @@ This script derives the 8 constants by pooling per-substate bit counts over
 a mixed synthetic corpus (gradients x noise levels x frequencies, i.e. NOT
 the benchmark corpus) and picking, per substate, the 128-state-machine state
 whose probability is closest to the pooled p1 (reachable within the pooled
-evidence depth).  The result is pinned in `core/tables.py::PRIOR_SUB` and is
-a FORMAT CONSTANT of sliced-container flag bit 0 ("primed"): encoder and
-decoder must use identical values forever; re-running this script is for
-documentation, not for regenerating the table.
+evidence depth).
+
+The SHIPPED prior goes further: it buckets the pooled counts by the hash's
+two low quantizer components (bucket = hash % 121) so busy and smooth
+neighborhoods get different start rows — `tables.PRIOR_TAB[121][8]`,
+derived and ratio-evaluated in `tools/eval_bucketed_prior.py` (bench
+corpus, 8-row stripes: 1.892 cold / 2.075 constant row / 2.186 bucketed vs
+2.199 unsliced).  The constant row derived here survives as PRIOR_SUB, the
+fallback for buckets with no training evidence.  Both are FORMAT CONSTANTS
+of sliced-container flag bit 0 ("primed"): encoder and decoder must use
+identical values forever; re-running these scripts is for documentation,
+not for regenerating the tables.
 """
 from __future__ import annotations
 
