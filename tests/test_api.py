@@ -171,3 +171,68 @@ def test_reencode_slice_validates_args():
         api.reencode_slice(blob, 9, img[:8])
     with pytest.raises(ValueError):
         api.reencode_slice(blob, 0, img[:4])
+
+
+def test_primed_container_golden_bytes():
+    """Byte-golden lock on the primed sliced format (FORMAT.md flag bit 0).
+
+    Locks the container layout AND the bucketed prior semantics
+    (tables.PRIOR_TAB): any engine or table drift changes these bytes.
+    Recorded from the XLA engine and cross-checked against the oracle
+    (test_sliced_primed_streams_match_primed_oracle covers engine equality).
+    """
+    import hashlib
+
+    rng = np.random.default_rng(42)
+    yy, xx = np.mgrid[0:32, 0:48]
+    base = np.clip(
+        100 + 60 * np.sin(xx / 7.0) + 50 * np.cos(yy / 5.0)
+        + rng.integers(-3, 4, (32, 48)), 0, 255,
+    ).astype(np.uint8)
+    img = np.repeat(base[..., None], 3, axis=2)
+    img[..., 1] += 2
+    img[..., 2] += 5
+    img = np.ascontiguousarray(img)
+    blob = llcomp_tpu.compress(img, slices=4, primed=True)
+    assert len(blob) == 1014
+    assert (
+        hashlib.sha256(blob).hexdigest()
+        == hashlib.sha256(bytes.fromhex(PRIMED_GOLDEN_HEX)).hexdigest()
+    )
+    assert blob == bytes.fromhex(PRIMED_GOLDEN_HEX)
+    np.testing.assert_array_equal(llcomp_tpu.decompress(blob), img)
+
+
+PRIMED_GOLDEN_HEX = (
+    "4c4c43540102030130000000200000000800000004000000f2000000f1000000f4"
+    "000000f7000000847237df735bdb0197b090bf68a9eeadc72cc4511f17e816a410"
+    "fb4d32bb6b33ea0df297ddef84f416e804355daec20e12f6f31ed273a35de3a071"
+    "5b5eb02d6cfea1d7a425594537a924a8faead3519221aebc05ae60cd740cb0af78"
+    "507a50a9b3aee81bde7feb39e2062e03f402bb42e1403a01213a95e06471009401"
+    "6d3c2ad6a09fc98940cad88e68d6242313fca0657b51f30ba718c742de8b6c6f5e"
+    "53c020b1ccc6b81a0e3cb37c534df9037f09fec85abb7b7470e5811bd9000fbfdd"
+    "a518fe04257077ab7d9b5a9b3134e6c1407ce317c9ba0a336f124d2db0b8ba53e4"
+    "0c10e38fc07cb9b169dd20f07cde2c5ce6ac847237f9332cf262c8d7fb5b15eed1"
+    "ac8782ac93c6cdabbab0b357fa43fecdff025b64702a7fb4e8d4d2428a288ed980"
+    "6c88c8ef2ba2128a48a0d3904be4044b2af616da9e2d384da2d9254a6d42589997"
+    "83f7f6688bac81570b45130f268309264801bb8a66841ac53db3b008cdf54ac12c"
+    "8772c54387c09b49bf3690a000853b4fc492b7cb373b40e30ecd8a5fae283b1829"
+    "e88c7cf2c56ebc9066cd1979a804f666aea2215b37e4ffbc31c5d7303c66b6496b"
+    "0f71483a73e1ffb87b76e64b25c2810088f17847451f15fa396494d659b3d8a59e"
+    "5a6b99961c004fef233fb994f5435adee078eda7c4b9456a5141eeed8472380cfa"
+    "6dbd535fd3890b626e0d75015acbbf6b63d1ce93a2b91bf00f5c21bdb24379db3b"
+    "b6b7dd7c116ef7f6d461e52a0d00ebea328536ae88366b2508ac8d63c72a5d7099"
+    "440df76cee2ade66a34ba511a06e75d4dd120e28b7c85d0926351bc76b99eff302"
+    "8e4d72c1ecc3b57fa1972e1be6f741d15670aa19a4f5c1344466c49dd23811b03f"
+    "4aca3d50cbaaef089723c7e4f4714bf598b704c8d7e74eeab2deece5cca611f733"
+    "f84bfde6ab044709aa0fbf9e7f67bb6b2771003a6fe8addcf1b9e00b0cd5b35290"
+    "6b93e337031125e32ee7a2d806cd4fcbd301d9b573d39c42e350f2e20b29b2f768"
+    "f9b342384817d9ad847237e3d084802a51135360910081946149e25b0da72615cf"
+    "9aff560e196faad7737b8c271528606b2c594cee24c108e0f9784a0c5ea7c281f7"
+    "a6b4834b80f9f0e753ca4735b33f0c14b15971ec69f6651e3bea1621f031e289b7"
+    "a9141577ca650110654ab82be2d988f5c9b11127fa3d2d7bffffa21facbc2df7d7"
+    "9727989d00a91179c4285d11232dedd70e193a912d50b1b0fdd2528d7f6754e9ce"
+    "7cf38378f4d15a994a87454367e26600b1d32b1f928459a3567d0cec8d270535e9"
+    "defaa51ef7e5504e8626be79fbb3e944d33268ae8afd8f4e0dfa1c9e681a49dc85"
+    "6486ab696221010ea5efefe7f30f7e29381d6d6c6ace6767"
+)

@@ -64,3 +64,27 @@ def test_config_model_sizes():
     assert REV2.num_states == 63408
     # trimmed model is a strict subset of the reference allocation
     assert REV2.num_states <= (11 * 11 * 11 * 5 * 5 + 1) // 2 * 8
+
+
+def test_prior_tab_pinned():
+    """The bucketed prior is a format constant of flag bit 0 (FORMAT.md):
+    any drift would silently break every primed container ever written."""
+    import hashlib
+
+    assert tables.PRIOR_TAB.shape == (121, 8)
+    assert tables.PRIOR_TAB.dtype == np.uint8
+    assert (
+        hashlib.sha256(tables.PRIOR_TAB.tobytes()).hexdigest()
+        == "437df1c5f7a0484d67b5439e1d8197b64f9edb6a5388c39bf2951d7900643007"
+    )
+    # packed forms agree with the table
+    t = tables.PRIOR_TAB.astype(np.int64)
+    lo = t[:, 0] | t[:, 1] << 8 | t[:, 2] << 16 | t[:, 3] << 24
+    hi = t[:, 4] | t[:, 5] << 8 | t[:, 6] << 16 | t[:, 7] << 24
+    np.testing.assert_array_equal(tables.PRIOR_LO121[:121], lo)
+    np.testing.assert_array_equal(tables.PRIOR_HI121[:121], hi)
+    # the full per-cidx map tiles the table over hash rows
+    m = tables.prior_full(121 * 8 * 3 + 16)
+    assert m[0:8].tolist() == tables.PRIOR_TAB[0].tolist()
+    assert m[121 * 8 : 121 * 8 + 8].tolist() == tables.PRIOR_TAB[0].tolist()
+    assert m[13 * 8 : 13 * 8 + 8].tolist() == tables.PRIOR_TAB[13].tolist()
