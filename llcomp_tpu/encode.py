@@ -667,10 +667,38 @@ def encode_lanes_pipelined(
     # two-phase dispatch below overlaps the sync latency instead: all
     # uploads + count dispatches go out first, so by the time a batch's
     # buckets are needed its counts are already on their way back.
-    staged = []
-    for imgs in batches:
-        imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
-        staged.append(_launch_stage_counts(imgs, cfg))
+    #
+    # LLCT_PIPELINE_THREADS=1 moves host grouping + upload to a worker
+    # thread so they overlap the main thread's chain dispatch and the
+    # per-batch count/length syncs (uploads block the dispatching thread
+    # on this backend).
+    batches = [np.ascontiguousarray(b, dtype=np.uint8) for b in batches]
+    if os.environ.get("LLCT_PIPELINE_THREADS", "0") != "0" and len(batches) > 1:
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def _uploader():
+            for imgs in batches:
+                try:
+                    q.put(_launch_stage_counts(imgs, cfg))
+                except BaseException as e:  # surface in the consumer
+                    q.put(e)
+                    return
+
+        threading.Thread(target=_uploader, daemon=True).start()
+
+        def _staged():
+            for _ in batches:
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+
+        staged = _staged()
+    else:
+        staged = [_launch_stage_counts(imgs, cfg) for imgs in batches]
     inflight = []
     for ctx in staged:
         imgs = ctx[0]
