@@ -104,21 +104,47 @@ def compress_corpus(
         for j, (y0, y1) in enumerate(container.slice_bounds(s[0], slice_h)):
             slice_of[idx][y0] = j
 
+    chunks = []
     for (rows, W, C), members in groups.items():
         for start in range(0, len(members), max_lanes_per_batch):
             chunk = members[start : start + max_lanes_per_batch]
-            lanes = np.stack([images[i][y0:y1] for i, y0, y1 in chunk])
-            if mesh is not None:
-                from . import parallel
-
-                streams = parallel.encode_lanes_sharded(lanes, mesh, cfg,
-                                                        primed)
-            else:
-                streams = jenc.encode_lanes(lanes, cfg, primed=primed)
-            for (i, y0, y1), blob in zip(chunk, streams):
-                per_image[i][slice_of[i][y0]] = blob
+            chunks.append(
+                (chunk, np.stack([images[i][y0:y1] for i, y0, y1 in chunk]))
+            )
             stats.lanes += len(chunk)
             stats.batches += 1
+    if mesh is not None:
+        from . import parallel
+
+        all_streams = [
+            parallel.encode_lanes_sharded(lanes, mesh, cfg, primed)
+            for _, lanes in chunks
+        ]
+    else:
+        import jax
+
+        # overlap in-budget chunks' device chains (and uploads/downloads)
+        # instead of encoding them back to back; over-budget stripe shapes
+        # go through encode_lanes, which owns the XLA fallback
+        pipe = [
+            k for k, (_, lanes) in enumerate(chunks)
+            if jenc.fits_pallas_budget(int(np.prod(lanes.shape[1:])))
+        ]
+        all_streams: list = [None] * len(chunks)
+        if jax.default_backend() == "tpu" and len(pipe) > 1:
+            piped = jenc.encode_lanes_pipelined(
+                [chunks[k][1] for k in pipe], cfg, primed=primed
+            )
+            for k, streams in zip(pipe, piped):
+                all_streams[k] = streams
+        for k in range(len(chunks)):
+            if all_streams[k] is None:
+                all_streams[k] = jenc.encode_lanes(
+                    chunks[k][1], cfg, primed=primed
+                )
+    for (chunk, _), streams in zip(chunks, all_streams):
+        for (i, y0, y1), blob in zip(chunk, streams):
+            per_image[i][slice_of[i][y0]] = blob
     stats.encode_s = time.perf_counter() - t0
 
     blobs = []

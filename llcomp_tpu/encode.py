@@ -650,6 +650,20 @@ def _outcap(n_sym: int) -> int:
     return -(-(n_sym + n_sym // 2 + 64) // 1024) * 1024
 
 
+def fits_pallas_budget(n_sym: int) -> bool:
+    """True iff a stripe of ``n_sym`` samples fits the Pallas encode chain.
+
+    Limits: the packed-sort position budget (2^25 slots), the per-group HBM
+    slot budget (~6 B/slot/lane at 1024 lanes, LLCT_SLOT_BUDGET), and the
+    byte-expansion offset budget (2^21 bytes).  The XLA engine has no such
+    limits (pick_slice_height avoids exceeding them by default).
+    """
+    slot_budget = int(os.environ.get("LLCT_SLOT_BUDGET", 900_000))
+    return (n_sym * 24 < (1 << 25)
+            and n_sym * 24 <= slot_budget
+            and _outcap(n_sym) < (1 << 21))
+
+
 def encode_lanes_pipelined(
     batches: list[np.ndarray], cfg: CodecConfig = REV2, primed: bool = False
 ) -> list[list[bytes]]:
@@ -744,14 +758,7 @@ def encode_lanes(
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     n_sym_total = int(np.prod(imgs.shape[1:]))
-    slot_budget = int(os.environ.get("LLCT_SLOT_BUDGET", 900_000))
-    if engine == "pallas" and (n_sym_total * 24 >= (1 << 25)
-                               or n_sym_total * 24 > slot_budget
-                               or _outcap(n_sym_total) >= (1 << 21)):
-        # stripe too large for the packed-sort position budget (2^25 slots),
-        # the per-group HBM slot budget (~6 B/slot/lane at 1024 lanes), or
-        # the byte-expansion offset budget (2^21 bytes); the XLA engine has
-        # no such limits (pick_slice_height avoids this by default)
+    if engine == "pallas" and not fits_pallas_budget(n_sym_total):
         engine = "xla"
     if engine == "pallas":
         n_sym = int(np.prod(imgs.shape[1:]))
