@@ -156,6 +156,19 @@ def main() -> int:
         sustained = None
         headline = mp_total / enc_single_s
 
+    # device-side throughput: inputs resident, chain + byte expansion, no
+    # host image upload / byte download in the timed region (production
+    # PCIe moves data ~100x faster than this dev tunnel, so the device
+    # number is the deployment-relevant one; vs_baseline stays on e2e)
+    device_mps = None
+    if engine == "pallas" and os.environ.get("BENCH_DEVICE", "1") != "0":
+        try:
+            device_mps = _encode_device_only(
+                [fresh_batch(300 + r) for r in range(reps)], slice_h, W, CH,
+                primed)
+        except Exception:
+            pass
+
     comp_bytes = sum(len(b) for b in streams)
     result = {
         "metric": (f"encode_mps_{H}" if CH == 3
@@ -168,6 +181,7 @@ def main() -> int:
         }.get((H, CH), 4.0), 3),
         "encode_mps_single_batch": round(mp_total / enc_single_s, 3),
         "encode_mps_sustained": round(sustained, 3) if sustained else None,
+        "encode_mps_device": round(device_mps, 3) if device_mps else None,
         "compression_ratio": round(n_images * H * W * CH / comp_bytes, 3),
         "lanes": S,
         "images": n_images,
@@ -291,6 +305,34 @@ def main() -> int:
         result["stage_profile"] = profiling.stages.report()
     print(json.dumps(result))
     return 0
+
+
+def _encode_device_only(batches, slice_h, W, CH, primed) -> float:
+    """Chain + byte expansion MP/s with inputs already device-resident.
+
+    The per-batch count and length syncs stay inside the timed region (they
+    are genuine parts of the device chain); only the image upload and byte
+    download move outside.  Fresh inputs per batch (elision rule).
+    """
+    from llcomp_tpu.core.config import REV2
+
+    ups = [jax.device_put(jenc._group_host(b)) for b in batches]
+    for u in ups:
+        u.block_until_ready()
+    n_sym = slice_h * W * CH
+    mp = sum(b.shape[0] * n_sym // CH for b in batches) / 1e6
+    t0 = time.time()
+    res = []
+    for b, u in zip(batches, ups):
+        hg, dg, counts = jenc._stage_precompute_g(u, slice_h, W, CH, REV2)
+        res.append(jenc._launch_stage_rest(
+            (b, hg, dg, counts, REV2), jenc._outcap(n_sym),
+            speculate=False, primed=primed))
+    done = [jenc._collect_bytes(kp, kf, ln, jenc._outcap(n_sym))
+            for kp, kf, ln, _ in res]
+    for b2, _ in done:
+        b2.block_until_ready()
+    return mp / (time.time() - t0)
 
 
 def _run_config(H: int, CH: int, n_images: int, slice_h: int, primed: bool):
