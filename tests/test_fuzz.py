@@ -31,3 +31,30 @@ def test_fuzz_roundtrip(seed):
         )
     out = jdec.decode_lanes([want[6:]], (h, w, c), engine="decision")
     np.testing.assert_array_equal(out[0], img)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_roundtrip_primed(seed):
+    """Primed mode (bucketed prior) fuzz: engines agree with the primed
+    oracle and round-trip, across random shapes and content styles."""
+    rng = np.random.default_rng(1000 + seed)
+    h = int(rng.integers(1, 16))
+    w = int(rng.integers(1, 16))
+    c = int(rng.choice([1, 3, 4]))
+    if seed % 2 == 0:
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    else:
+        img = np.clip(
+            rng.integers(0, 256)
+            + np.cumsum(rng.integers(-3, 4, (h, w, c)), axis=0),
+            0, 255,
+        ).astype(np.uint8)
+
+    want = oracle.encode_planes(oracle.rct_forward(img), primed=True)
+    for engine in ("xla", "pallas"):
+        got = jenc.encode_lanes(img[None], engine=engine, primed=True)[0]
+        assert got == want, (engine, h, w, c)
+    for dec_engine in ("decision", "lockstep"):
+        out = jdec.decode_lanes([want], (h, w, c), engine=dec_engine,
+                                primed=True)
+        np.testing.assert_array_equal(out[0], img)
