@@ -170,9 +170,8 @@ def main():
 
     schemes = {}
     schemes["cold"] = np.zeros(cfg.num_states, np.uint8)
-    schemes["sub (shipped)"] = reset_map_from_table(
-        tables.PRIOR_SUB[None, :]
-    )
+    schemes["sub (const)"] = reset_map_from_table(tables.PRIOR_SUB[None, :])
+    schemes["shipped"] = tables.prior_full(cfg.num_states)
     for name, B, minev in (("h11", 11, 0), ("h11c", 11, 4096),
                            ("h121", 121, 0), ("h121c", 121, 2048)):
         tab, n = derive_table(B, minev)
