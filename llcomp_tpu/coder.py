@@ -108,24 +108,6 @@ def finish_steps(carry):
     return (jnp.stack([m1[0], m2[0]]), jnp.stack([m1[1], m2[1]]))
 
 
-def finish_steps_grouped(fin: jnp.ndarray):
-    """Final carries [G, 4, 1, 8, 128] -> the two flush slots [G, 2, 8, 128]."""
-    low, rng, pend, run = (fin[:, i] for i in range(4))
-    t = jnp.ones_like(low, dtype=bool)
-    low = low + 0xFF
-    (low, rng, pend, run), s1 = shift_step(
-        low, jnp.full_like(rng, 0xFF), pend, run, t
-    )
-    (low, rng, pend, run), s2 = shift_step(
-        low, jnp.full_like(rng, 0xFF), pend, run, t
-    )
-    m1 = pack_slot(*s1)
-    m2 = pack_slot(*s2)
-    fm = jnp.concatenate([m1[0], m2[0]], axis=1)
-    fr = jnp.concatenate([m1[1], m2[1]], axis=1)
-    return fm, fr
-
-
 def finish_steps_grouped_off(fin: jnp.ndarray):
     """Final carries [G, 5, 1, 8, 128] (incl. byte offset) -> the two flush
     shifts' offset-packed records [G, 2, 8, 128] plus per-lane stream lengths
@@ -208,53 +190,6 @@ def expand_kp_grouped(kp: jnp.ndarray, kp_fin: jnp.ndarray, outcap: int):
     (kb,) = jax.lax.sort((kb,), dimension=1, num_keys=1)
     return (kb[:, :outcap] & 0xFF).astype(jnp.uint8)
 
-
-def expand_slots_on_device_grouped(
-    meta: jnp.ndarray, runs: jnp.ndarray, outcap: int
-):
-    """Group-layout twin of ``expand_slots_on_device``.
-
-    meta/runs [G, T, 8, 128] -> (bytes [G, outcap, 8, 128] u8,
-    lens [G, 1, 8, 128] i32); the slot axis is axis 1 throughout.
-    """
-    BIG = jnp.int32(1 << 30)
-
-    emit = (meta & 1) == 1
-    length = jnp.where(emit, 1 + runs, 0)
-    ends = jnp.cumsum(length, axis=1)
-    offs = ends - length
-    lens = ends[:, -1:]
-
-    pay1 = ((meta >> 8) & 0xFF) | (meta & 2) << 7
-    kp1 = jnp.where(emit, (offs << 9) | pay1, BIG)
-    (kp1,) = jax.lax.sort((kp1,), dimension=1, num_keys=1)
-    kp1 = kp1[:, :outcap]
-    k1 = jnp.where(kp1 < BIG, kp1 >> 9, BIG)
-    p1 = kp1 & 0x1FF
-
-    probe_k = jax.lax.broadcasted_iota(jnp.int32, k1.shape, 1) * 2 + 1
-    slot_k = jnp.where(k1 < BIG, k1 * 2, BIG)
-    slot_v = jnp.where(k1 < BIG, ((k1 + 1) << 9) | p1, 0)
-    keys = jnp.concatenate([slot_k, probe_k], axis=1)
-    vals = jnp.concatenate([slot_v, jnp.zeros_like(slot_v)], axis=1)
-    sk, sv = jax.lax.sort((keys, vals), dimension=1, num_keys=1)
-
-    n = sv.shape[1]
-    d = 1
-    while d < n:
-        prev = jnp.pad(sv, ((0, 0), (d, 0), (0, 0), (0, 0)))[:, :n]
-        sv = jnp.where(sv != 0, sv, prev)
-        d *= 2
-
-    is_probe = (sk & 1) == 1
-    pp = sk >> 1
-    f_off = (sv >> 9) - 1
-    f_head = sv & 0xFF
-    f_fill = jnp.where((sv & 0x100) != 0, 0, 0xFF)
-    byte = jnp.where(f_off == pp, f_head, f_fill)
-    kb = jnp.where(is_probe, (pp << 8) | byte, BIG)
-    (kb,) = jax.lax.sort((kb,), dimension=1, num_keys=1)
-    return (kb[:, :outcap] & 0xFF).astype(jnp.uint8), lens
 
 
 # --------------------------------------------------------------------------

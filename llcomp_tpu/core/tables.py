@@ -89,35 +89,35 @@ del _i
 # sliced containers: encoder and decoder must agree forever; never
 # regenerate in place.
 PRIOR_TAB = np.frombuffer(bytes.fromhex(
-    "0017030e2c0c06062c0d0828560c0a053c1f0022620a08135e3b1708480804257e71"
-    "3915180602417e7f7f7f7e011d7f01010101010101017e714f1f140802544e2d1108"
-    "3a0a062c3a1b0226520c0a10220d082a540e0a062a0d0628520e081030130828560c"
-    "0a023a1d0020560c0a09563713084608061d7e713b17180802370101010101010101"
-    "01010101010101017e77471b1606024c4e2f0f0a3c0a041e3a1d0026560c080a3a1b"
-    "0024560c08143c1f0124540c081c3a1b0020540c080e3c1f01184e0c080056351308"
-    "400a040f7e6335131c0602257e7f017f0101117f7e7f7f270108027e7e6739151a08"
-    "023c5a3b15063c08041854330f0c400a061c563513083c0806285e3b17063c0a0430"
-    "543515063c0a042456351306380a04145e3b19023208040076572d0d200804130101"
-    "0101010101017e7f7f550206027e7e77411d120802367e6739131a0602387e713d17"
-    "180802407e6b471b160602467e774119140602487e6b3b19180602407e6739151806"
-    "022c765b330f1e08021676552b0b2608040001010101010101017e7f7f15030b0e7e"
+    "06070c122c1208061e01282e56160e0b300f102e620e0e215a37130a480804257e71"
+    "3915180602417e7f7f7f7e011d7f01010101010101015a3d2511140a02324021070e"
+    "3c0c061832111234520e101a1e01263456140e0c22032436541210181e01242c5616"
+    "0c022a0b0c2456100a0f543311084608061d7e6b3915180802370101010101010101"
+    "01010101010101016a4b2d1316080228482909103c0a060c34130c325a0e0c103011"
+    "1234560e102034131032560e0e282a0b0e24560e0a103417001c4e0e08015231110a"
+    "420a040f765f33131c0602257e7f017f0101117f7e7f7f270108027e7e5f35111a08"
+    "022c5a3b15084008040a4e2d0b10420a060e4a2b0b0a3c0a061c4c2d0f08400a0424"
+    "4a2b0d083c0a041c4a2b0d083a0a061056371502320a040076552d0d200804130101"
+    "0101010101017e7f7f550206027e7e77411d120802347e6337111c06022c7e633515"
+    "180802347e573b171606023c7e633915140604407e5b33151806023a765731131808"
+    "022a76552f0f1e0a021676552b0b2608040001010101010101017e7f7f15030b0e7e"
     "7e7f7f3d020a02767e7f7745060a017e7e4f7f7f00150a7e7e7f7f7f0e01087e0101"
     "01010101010101010101010101010101010101010101010101010101010101010101"
     "01010101010101010101010101010101010101010101010101010101010101010101"
     "01010101010101010101010101010101010101010101010101010101010101010101"
     "010101010101010101010101010101017e7f7f7e017e7f7f01010101010101010101"
-    "010101010101765f3d0736080a0670572d072e0602097e47290724040611765b2b11"
-    "2408021f7e533d13200a02257e672f0d200a04297e572d0b2406022376552d0b2406"
-    "04177e633913180602217e7f6b57040c0c7f01010101010101017e5f37111c080220"
-    "4a290f022c0a060840230510380a060f4e2f0b10460a041b5235110e5208041f5231"
-    "110c4a0a061752310f0c480a060f5a3917064008060d765f370f1c0802297e7f7f6b"
-    "0208087f01010101010101017e6b41191606043c4a2b0d0a320a061e3a19021e4a0c"
-    "08003a190226540c0a053a1d0024560c080d381902224e0c08073a1d001e560c0805"
-    "5635130a440806177e6339131c0602357e7f7f45040e1a7f01010101010101017e7f"
-    "491d120404544e2d1106360a042a38190220520c0a0c34130428560c0c042e0f0828"
-    "560e0c0330130628440c0a023a1b0224520a080b5e39150a480806217e713b151808"
-    "02397e7f7f7f0e01097f01010101010101017e7f4f211004045a5433130634080638"
-    "3a1d0022520c0a18300f062a560c0a0e"
+    "01010101010154311f06380a0a044c2d11003008040d623517002606061b623d1705"
+    "2608042576472307220a042f70432107220a0427764925092408021f70532b092408"
+    "04157e633913180602217e7f6b57040c0c7f01010101010101015631150120080414"
+    "3a1b01102e0c0802381b001a3c0c081142230318480a061d46290914540a06214425"
+    "09104a0c08174629090e480a060b5a3715084008060b765f350f1c0802297e7f7f6b"
+    "0208087f010101010101010162391f09180804283a1b0112320c0610321306244c0c"
+    "0a012e0f082c56100a092e0f0c2a5a0e0a152a0b0e2852100a0d2e0f0a225a0e0a09"
+    "54310f0c460a06157e5f37131c0602357e7f7f45040e1a7f01010101010101015a41"
+    "210b140804383c1f030e360c061a2e110a24520e0a0a22051a2c5a120e062001222e"
+    "56160e071e01222c44160c022a0b142c520e0c175635110c480a06217e7139151a08"
+    "02397e7f7f7f0e01097f01010101010101015a472311120606364223070c340a0624"
+    "36150c2c520e0e1e260520365610101a"
 ), dtype=np.uint8).reshape(121, 8).copy()
 PRIOR_BUCKETS = 121
 

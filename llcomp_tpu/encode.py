@@ -438,17 +438,6 @@ def _stage_back_sort(skey, spay, probs_g):
     return jnp.where(kp < (1 << 30), (kp & 0x1FF) | (1 << 9), 0)
 
 
-@functools.partial(jax.jit, static_argnames=("outcap",))
-def _stage_expand(meta_g, runs_g, fin, outcap: int):
-    """Slot records (group layout) + final carries -> bytes + lengths."""
-    G = meta_g.shape[0]
-    fin = fin.reshape(G, 4, 1, 8, 128)
-    fm, fr = coder.finish_steps_grouped(fin)
-    meta_g = jnp.concatenate([meta_g, fm], axis=1)
-    runs_g = jnp.concatenate([runs_g, fr], axis=1)
-    return coder.expand_slots_on_device_grouped(meta_g, runs_g, outcap)
-
-
 @jax.jit
 def _stage_finish(fin):
     """Final coder carries -> the two flush records + per-lane lengths.

@@ -194,7 +194,7 @@ def test_primed_container_golden_bytes():
     img[..., 2] += 5
     img = np.ascontiguousarray(img)
     blob = llcomp_tpu.compress(img, slices=4, primed=True)
-    assert len(blob) == 1014
+    assert len(blob) == 996
     assert (
         hashlib.sha256(blob).hexdigest()
         == hashlib.sha256(bytes.fromhex(PRIMED_GOLDEN_HEX)).hexdigest()
@@ -204,35 +204,35 @@ def test_primed_container_golden_bytes():
 
 
 PRIMED_GOLDEN_HEX = (
-    "4c4c43540102030130000000200000000800000004000000f2000000f1000000f4"
-    "000000f7000000847237df735bdb0197b090bf68a9eeadc72cc4511f17e816a410"
-    "fb4d32bb6b33ea0df297ddef84f416e804355daec20e12f6f31ed273a35de3a071"
-    "5b5eb02d6cfea1d7a425594537a924a8faead3519221aebc05ae60cd740cb0af78"
-    "507a50a9b3aee81bde7feb39e2062e03f402bb42e1403a01213a95e06471009401"
-    "6d3c2ad6a09fc98940cad88e68d6242313fca0657b51f30ba718c742de8b6c6f5e"
-    "53c020b1ccc6b81a0e3cb37c534df9037f09fec85abb7b7470e5811bd9000fbfdd"
-    "a518fe04257077ab7d9b5a9b3134e6c1407ce317c9ba0a336f124d2db0b8ba53e4"
-    "0c10e38fc07cb9b169dd20f07cde2c5ce6ac847237f9332cf262c8d7fb5b15eed1"
-    "ac8782ac93c6cdabbab0b357fa43fecdff025b64702a7fb4e8d4d2428a288ed980"
-    "6c88c8ef2ba2128a48a0d3904be4044b2af616da9e2d384da2d9254a6d42589997"
-    "83f7f6688bac81570b45130f268309264801bb8a66841ac53db3b008cdf54ac12c"
-    "8772c54387c09b49bf3690a000853b4fc492b7cb373b40e30ecd8a5fae283b1829"
-    "e88c7cf2c56ebc9066cd1979a804f666aea2215b37e4ffbc31c5d7303c66b6496b"
-    "0f71483a73e1ffb87b76e64b25c2810088f17847451f15fa396494d659b3d8a59e"
-    "5a6b99961c004fef233fb994f5435adee078eda7c4b9456a5141eeed8472380cfa"
-    "6dbd535fd3890b626e0d75015acbbf6b63d1ce93a2b91bf00f5c21bdb24379db3b"
-    "b6b7dd7c116ef7f6d461e52a0d00ebea328536ae88366b2508ac8d63c72a5d7099"
-    "440df76cee2ade66a34ba511a06e75d4dd120e28b7c85d0926351bc76b99eff302"
-    "8e4d72c1ecc3b57fa1972e1be6f741d15670aa19a4f5c1344466c49dd23811b03f"
-    "4aca3d50cbaaef089723c7e4f4714bf598b704c8d7e74eeab2deece5cca611f733"
-    "f84bfde6ab044709aa0fbf9e7f67bb6b2771003a6fe8addcf1b9e00b0cd5b35290"
-    "6b93e337031125e32ee7a2d806cd4fcbd301d9b573d39c42e350f2e20b29b2f768"
-    "f9b342384817d9ad847237e3d084802a51135360910081946149e25b0da72615cf"
-    "9aff560e196faad7737b8c271528606b2c594cee24c108e0f9784a0c5ea7c281f7"
-    "a6b4834b80f9f0e753ca4735b33f0c14b15971ec69f6651e3bea1621f031e289b7"
-    "a9141577ca650110654ab82be2d988f5c9b11127fa3d2d7bffffa21facbc2df7d7"
-    "9727989d00a91179c4285d11232dedd70e193a912d50b1b0fdd2528d7f6754e9ce"
-    "7cf38378f4d15a994a87454367e26600b1d32b1f928459a3567d0cec8d270535e9"
-    "defaa51ef7e5504e8626be79fbb3e944d33268ae8afd8f4e0dfa1c9e681a49dc85"
-    "6486ab696221010ea5efefe7f30f7e29381d6d6c6ace6767"
+    "4c4c43540102030130000000200000000800000004000000ef000000ee000000ee"
+    "000000f100000095653bb5d19648b35ee9165a7a3da75e6e9268709877c005ff79"
+    "a8adc10e63f66c09994fcc7733d6fb02e6bff10d4239e1acc70811bebfdff58c83"
+    "2888827bb456d95e5832f43c7c989d623601a985cf78f4a35a8916252bef63aaa8"
+    "5cbc763787fde9f1b1a599039c115b33ed7fdac94d5e9a78d02f6b792a51330b43"
+    "7b55baf3bae0fce722eca6ed89cc8c52a5834fd08afc302e84ad27774b511388a8"
+    "ea54a8ce87132e7bea7a6409464067bb2ffdf8549248ae3a57a6678ff1e07cc6b1"
+    "f3e0614e7559cacc5478a50899841dbb9dc0b1a156ee68e0153ca42214b7a18035"
+    "28370a576fc0c597c5c6e31fb7c91495653bbeb0e2239881eafa46f48fb4946821"
+    "82edc9e25867116a37871ca7795963c131e07fbe430699514d38584cd4811df7a8"
+    "ebb4e43ddc2ca1686c443c46b0f500f99773bb1faedc3566b5aca0acdb28c05869"
+    "86195a919b745578fad10bc796c441ed5958f7e6d68b1e6efb3c10a446e6bba221"
+    "cabf3e165c6a2c3aa2127d00f94114e665d181fc4aee62751e8aed66bf780c1f4d"
+    "3635d1649c0c202bcff5bcd21c52dcb564dba4d68f6bf0f7d6f618db75a4e28a3f"
+    "f3a0666e5d709b9cf38d8423d0f6c89a7ef44c7af06fd9352ee5f7d27b207dcb3e"
+    "dda1be61c7c874ae05fb898bb9bebe2e6725e8fcc73095653bc66328ed6ba1413c"
+    "8d265a79b923e371c0c1dd59b0040f9bdf527079128880b6e027638bb3b57dfdbd"
+    "255b4993508d322baa929bc1f8b0d0b633f3e32168530ebc940abdb489cbf22277"
+    "ba62b614703f21fcf7ca72643d19e352e7234e577a8c1e067f0dec5ee07451cf6e"
+    "c8a98487be22c3252023b1fa936fdf3b1a684641c05a02f23a1b9c0bd313dc89df"
+    "16182691d39003fe4824acb756bbcb4bb668023a7b8fbe8d88b7f5d517ebf818c4"
+    "0ebfc8726b8bdc6f0fe7de3eca73054b12dcef347770f6a74907f5af862c3916cd"
+    "7f4c25bf699743a773a883f82d9ec84ef0979fb63016ed06ccba3f65f295653bb7"
+    "887f7a7600a7e2231d83914662dc0b65b407295c82992384ac62e7bb37971d9379"
+    "72ba2ed95b3928a81419efcbedd44ea3cf6fe420594ea1daff7b3ce858cafb7dde"
+    "6de0e956a7ce974a5506606bba0d4fc5fc41d097b05bca5d202bcd4a67769bc33a"
+    "23fc1ffba5dce8912927ee84d45adca80f20c8cfed92bf8488c065973b4d5e6ba9"
+    "769ddbacb10bb4478ce2bd859f7511732176fd6ca3d418eac82457faeb873c8ac4"
+    "ad27feee19313259270723c8eb4d7f5a651751962fac6bef45e4fff56e71a2ab4c"
+    "9de471b738c28a02a129b4954e224cf73be3b9d33213b17544583289eac750ccec"
+    "3621f7c2f1a3"
 )

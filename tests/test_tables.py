@@ -75,7 +75,7 @@ def test_prior_tab_pinned():
     assert tables.PRIOR_TAB.dtype == np.uint8
     assert (
         hashlib.sha256(tables.PRIOR_TAB.tobytes()).hexdigest()
-        == "437df1c5f7a0484d67b5439e1d8197b64f9edb6a5388c39bf2951d7900643007"
+        == "399c121254295398e4c48ea165a43e2ad17d58f0b04193bae186f4b5b8c2d11f"
     )
     # packed forms agree with the table
     t = tables.PRIOR_TAB.astype(np.int64)

@@ -67,6 +67,16 @@ def bucketed_counts(img, nbuckets):
 
 
 def derive_table(nbuckets, min_evidence=0):
+    """Pool (bucket, substate) bit counts over the TRAINING corpus.
+
+    The pool mixes the sinusoid set derive_prior.py uses with 1/f-spectrum
+    natural-noise images (bench.make_natural, disjoint seeds from every
+    benchmark corpus): the natural half taught the table broadband detail
+    statistics worth ~+4% ratio on natural content at no cost on the
+    sinusoid corpus (measured round 2).
+    """
+    from bench import make_natural
+
     n0 = np.zeros(nbuckets * SUBS, np.int64)
     n1 = np.zeros(nbuckets * SUBS, np.int64)
     i = 0
@@ -77,6 +87,11 @@ def derive_table(nbuckets, min_evidence=0):
             n0 += a
             n1 += b
             i += 1
+    for k in range(8):
+        img = make_natural(192, 192, seed=40_000 + k)
+        a, b = bucketed_counts(img, nbuckets)
+        n0 += a
+        n1 += b
     n = n0 + n1
     p1 = np.where(n > 0, 256.0 * n1 / np.maximum(n, 1), 128.0)
     prob = tables.STATE_PROB.astype(np.float64)
