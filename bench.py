@@ -255,6 +255,19 @@ def main() -> int:
             dec_base = {
                 (512, 3): 3.5, (2048, 3): 3.1, (1024, 3): 3.4, (256, 4): 2.3,
             }.get((H, CH), 3.5)
+            # device-side decode: kernels complete, pixel download excluded
+            # (the tunnel moves decoded pixels at ~15 MB/s; PCIe is ~100x)
+            if dec_engine == "pallas" and os.environ.get(
+                    "BENCH_DEVICE", "1") != "0":
+                try:
+                    fd = [fresh_batch(700 + r) for r in range(reps)]
+                    sd = [s for st in jenc.encode_lanes_pipelined(
+                        fd, primed=primed) for s in st]
+                    dd = _decode_device_only(sd, (slice_h, W, CH), primed)
+                    result["decode_mps_device"] = round(
+                        reps * mp_total / dd, 3)
+                except Exception:
+                    pass
             result["decode_vs_baseline"] = round(dec_mps / dec_base, 3)
             result["vs_baseline"] = round(
                 min(result["vs_baseline"], result["decode_vs_baseline"]), 3
@@ -333,6 +346,32 @@ def _encode_device_only(batches, slice_h, W, CH, primed) -> float:
     for b2, _ in done:
         b2.block_until_ready()
     return mp / (time.time() - t0)
+
+
+def _decode_device_only(streams, shape, primed) -> float:
+    """Seconds to run the Pallas decode kernels to completion with streams
+    already resident and no pixel download (mirrors _encode_device_only)."""
+    from llcomp_tpu.pallas import decode_kernel as dk
+    from llcomp_tpu.core.config import REV2
+
+    H, W, C = shape
+    S = len(streams)
+    G = -(-S // dk.LANES)
+    cap = max(4096, -(-(max(len(s) for s in streams) + 64) // 4096) * 4096)
+    data = np.zeros((G, cap, dk.LANES), dtype=np.uint8)
+    for s, blob in enumerate(streams):
+        data[s // dk.LANES, : len(blob), s % dk.LANES] = np.frombuffer(
+            blob, dtype=np.uint8)
+    step = dk._pick_nsub(G, cap)
+    ups = [jax.device_put(data[g : g + step]) for g in range(0, G, step)]
+    for u in ups:
+        u.block_until_ready()
+    t0 = time.time()
+    inflight = [dk.decode_groups_images(u, H, W, C, REV2, primed)
+                for u in ups]
+    for imgs, err in inflight:
+        imgs.block_until_ready()
+    return time.time() - t0
 
 
 def _run_config(H: int, CH: int, n_images: int, slice_h: int, primed: bool):

@@ -113,25 +113,39 @@ def _sublane_gather(block, idx):
     return jnp.take_along_axis(block, idx_b, axis=0)[0:1, :]
 
 
-# Hash-bucketed prior as a row-periodic pattern: model word 2h holds hash
-# h's substates 0-3 (packed LO), word 2h+1 substates 4-7 (HI), and the
-# bucket is h % 121, so the init value repeats every 2*121 = 242 rows.
-_PRIOR_ROWPAT = np.empty((242, 1), np.int32)
-_PRIOR_ROWPAT[0::2, 0] = tables.PRIOR_LO121[:121]
-_PRIOR_ROWPAT[1::2, 0] = tables.PRIOR_HI121[:121]
+# Hash-bucketed prior rows packed 4 substates/word and padded 121 -> 128
+# buckets for lane-axis dynamic_gather (kernel operands, like _FUSED).
+_PRIOR_LO_B = _b(tables.PRIOR_LO121)
+_PRIOR_HI_B = _b(tables.PRIOR_HI121)
 
 
-def _model_init(nrows: int, primed: bool) -> jnp.ndarray:
-    """Initial packed model block: zeros (reference semantics) or the
+def _write_model_init(model_ref, sections: int, primed: bool, plo, phi):
+    """Fill the packed model scratch: zeros (reference semantics) or the
     sliced-mode hash-bucketed prior (tables.PRIOR_TAB; container flag
-    bit 0).  The prior is a 242-row-periodic pattern (see _PRIOR_ROWPAT),
-    tiled and trimmed — no gathers (trash rows beyond the last hash row
-    may hold anything)."""
+    bit 0).  Model word 2h holds hash h's substates 0-3, word 2h+1
+    substates 4-7, so row r of a section gets plo/phi[(r >> 1) % 121]
+    by row parity — looked up from the (8,128) table OPERANDS (captured
+    constants are not allowed in kernels) in bounded row chunks, then
+    stored once per model section (the blocked kernel stacks ``sections``
+    groups' models, each restarting the pattern at its own base; trash
+    rows beyond the last hash row may hold anything)."""
     if not primed:
-        return jnp.zeros((nrows, LANES), jnp.int32)
-    reps = -(-nrows // 242)
-    pat = jnp.tile(jnp.asarray(_PRIOR_ROWPAT), (reps, LANES))
-    return pat[:nrows]
+        model_ref[:] = jnp.zeros((sections * NS4, LANES), jnp.int32)
+        return
+    CH = 2048
+    for c0 in range(0, NS4, CH):
+        rows = min(CH, NS4 - c0)
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) + c0
+        b = (r >> 1) % 121
+        lo = jnp.take_along_axis(
+            jnp.broadcast_to(plo[0:1, :], (rows, LANES)), b, axis=1
+        )
+        hi = jnp.take_along_axis(
+            jnp.broadcast_to(phi[0:1, :], (rows, LANES)), b, axis=1
+        )
+        piece = jnp.where((r & 1) == 0, lo, hi)
+        for s in range(sections):
+            model_ref[pl.ds(s * NS4 + c0, rows)] = piece
 
 
 def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
@@ -149,6 +163,7 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
 
     def kernel(data_ref,                      # [cap/4, 128] i32 (packed bytes LE)
                ftab, q11lo, q11hi, q5lo, q5hi,   # (8,128) tables
+               plo, phi,                      # (8,128) prior rows (primed)
                planes_ref,                    # [SYMCHUNK, 128] i32 out
                err_ref,                       # [8, 128] i32 out (sticky flags)
                model_ref,                     # [NS4, 128] i32 scratch
@@ -170,7 +185,7 @@ def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
 
         @pl.when(chunk == 0)
         def _init():
-            model_ref[:] = _model_init(NS4, primed)
+            _write_model_init(model_ref, 1, primed, plo[:], phi[:])
             lines_ref[:] = jnp.zeros((3 * stride, LANES), jnp.int32)
             err_ref[:] = jnp.zeros((8, LANES), jnp.int32)
             w0 = data_ref[0:1, :]
@@ -469,6 +484,7 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
 
     def kernel(data_ref,            # [NSUB*cap4, 128] i32 (LE-packed bytes)
                ftab, q11lo, q11hi, q5lo, q5hi,
+               plo, phi,            # (8,128) prior rows (primed)
                planes_ref,          # [SYMCHUNK*NSUB, 128] i32 out
                err_ref,             # [NSUB, 128] i32 out (sticky flags)
                model_ref,           # [NSUB*NS4, 128] i32 scratch
@@ -507,7 +523,7 @@ def _make_kernel_blocked(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
 
         @pl.when(chunk == 0)
         def _init():
-            model_ref[:] = _model_init(NSUB * NS4, primed)
+            _write_model_init(model_ref, NSUB, primed, plo[:], phi[:])
             lines_ref[:] = jnp.zeros((LROWS * NSUB, LANES), jnp.int32)
             err_ref[:] = jnp.zeros((NSUB, LANES), jnp.int32)
             pend_ref[:] = jnp.zeros((2 * NSUB, LANES), jnp.int32)
@@ -877,7 +893,7 @@ def _decode_groups_impl(data, H, W, C, cfg, ablate, primed=False):
     blocked = (stride % 8 == 0 and C <= 8
                and (not interpret
                     or os.environ.get("LLCT_DECODE_FORCE_BLOCKED") == "1"))
-    tabs = [_FUSED, _Q11_LO, _Q11_HI, _Q5_LO, _Q5_HI]
+    tabs = [_FUSED, _Q11_LO, _Q11_HI, _Q5_LO, _Q5_HI, _PRIOR_LO_B, _PRIOR_HI_B]
     if blocked:
         NSUB = _pick_nsub(G, cap)
         G_out = -(-G // NSUB)
@@ -900,7 +916,7 @@ def _decode_groups_impl(data, H, W, C, cfg, ablate, primed=False):
             ] + [
                 pl.BlockSpec((8, LANES), lambda g, c: (0, 0),
                              memory_space=pltpu.VMEM)
-            ] * 5,
+            ] * 7,
             out_specs=(
                 pl.BlockSpec((None, SYMCHUNK * NSUB, LANES),
                              lambda g, c: (g, c, 0),
@@ -959,7 +975,7 @@ def _decode_groups_impl(data, H, W, C, cfg, ablate, primed=False):
         ] + [
             pl.BlockSpec((8, LANES), lambda g, c: (0, 0),
                          memory_space=pltpu.VMEM)
-        ] * 5,
+        ] * 7,
         out_specs=(
             pl.BlockSpec((None, SYMCHUNK, LANES), lambda g, c: (g, c, 0),
                          memory_space=pltpu.VMEM),

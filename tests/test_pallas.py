@@ -82,6 +82,28 @@ def test_blocked_wide_kernel_interpret_bitexact(monkeypatch):
         np.testing.assert_array_equal(out[i], l, err_msg=f"lane {i}")
 
 
+def test_blocked_kernel_primed_multigroup(monkeypatch):
+    """Primed (bucketed-prior) init of the blocked kernel across >1 model
+    sections: each NS4 section must restart the PRIOR_TAB row pattern at
+    its own base (a flat tile across NSUB*NS4 rows would misalign every
+    section after the first, NS4 % 242 != 0)."""
+    from llcomp_tpu import decode as jdec
+
+    monkeypatch.setenv("LLCT_DECODE_FORCE_BLOCKED", "1")
+    rng = np.random.default_rng(3)
+    a = np.clip(rng.integers(-3, 4, (8, 8, 3)).cumsum(axis=1) + 120,
+                0, 255).astype(np.uint8)
+    b = np.clip(rng.integers(-4, 5, (8, 8, 3)).cumsum(axis=0) + 90,
+                0, 255).astype(np.uint8)
+    blobs = [oracle.encode_planes(oracle.rct_forward(im), primed=True)
+             for im in (a, b)]
+    streams = [blobs[0]] * 128 + [blobs[1]] * 2   # 130 lanes -> 2 sections
+    out = jdec.decode_lanes(streams, a.shape, engine="pallas", primed=True)
+    np.testing.assert_array_equal(out[0], a)
+    np.testing.assert_array_equal(out[127], a)
+    np.testing.assert_array_equal(out[129], b)
+
+
 def test_device_expansion_matches_host():
     """expand_slots_on_device == expand_slots_batch on random slot records."""
     import jax.numpy as jnp
