@@ -31,22 +31,23 @@ def pick_slice_height(height: int, width: int, channels: int,
     """Stripe height balancing lane count (TPU occupancy) against compression.
 
     More stripes = more parallel lanes but each stream restarts its adaptive
-    model from zero, costing ratio on small stripes.  Default: aim for
+    model, costing ratio on small stripes.  Default: aim for
     ``target_lanes`` stripes but never fewer than ``min_rows`` rows per
-    stripe.  Capped by the encode pipeline's HBM budget (below).
+    stripe — except for wide images, where the Pallas encode pipeline's HBM
+    budget (~6 B per decision slot per lane of a 1024-lane group,
+    LLCT_SLOT_BUDGET) caps the stripe's slot count.  Staying on the fast
+    engine with thin stripes beats falling back to the XLA engine with tall
+    ones: the hash-bucketed prior holds sliced ratio >= 2.14 even at 2-row
+    stripes (docs/DESIGN.md), while over-budget stripes decode/encode an
+    order of magnitude slower.  Only ultra-wide images whose budget height
+    would drop below 2 rows keep ``min_rows`` and take the XLA fallback.
     """
     rows = max(min_rows, -(-height // target_lanes))
-    # HBM budget: the Pallas encode pipeline peaks at ~6 B per decision slot
-    # per lane of a 1024-lane group (pair-packed walk records + truncated-
-    # unpack compact sort); cap a stripe's worst-case slot count so wide
-    # images stay well inside memory.  The sort-position budget itself is
-    # 2^25 slots (encode._stage_compact) — far looser than this memory cap.
-    # Never drop below min_rows though: tiny stripes cost ratio (each stream
-    # restarts its model), so ultra-wide images keep >= min_rows rows and
-    # encode_lanes routes their over-budget stripes to the XLA engine.
     budget = int(os.environ.get("LLCT_SLOT_BUDGET", 900_000))
-    max_rows = max(min(height, min_rows), budget // (24 * width * channels))
-    return max(1, min(height, rows, max_rows))
+    max_rows_fast = budget // (24 * width * channels)
+    if max_rows_fast >= 2 or height == 1:
+        return max(1, min(height, rows, max(max_rows_fast, 1)))
+    return max(1, min(height, min_rows))  # ultra-wide: XLA-fallback regime
 
 
 # Encoder policy for the sliced-mode model prior (tables.PRIOR_TAB): priming

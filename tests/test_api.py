@@ -123,16 +123,20 @@ def test_oracle_backend():
 
 def test_wide_image_slicing_stays_within_pallas_budget():
     """Wide stripes must respect the encode pipeline's HBM slot budget and
-    never collapse to 1-row stripes for W <= 8192 (VERDICT r1 #4)."""
+    never collapse to 1-row stripes for W <= 8192 (VERDICT r1 #4).  Since
+    the bucketed prior holds sliced ratio >= 2.14 even at 2-row stripes,
+    wide images prefer thin stripes on the fast Pallas path over tall ones
+    on the slow XLA fallback; only ultra-wide images (budget height < 2)
+    keep min_rows and fall back."""
     import os
 
     budget = int(os.environ.get("LLCT_SLOT_BUDGET", 900_000))
     for w in (2048, 3840, 8192):
         sh = api.pick_slice_height(4096, w, 3)
-        assert sh >= 8, (w, sh)  # never the 1-row-stripe ratio cliff
-        # either inside the Pallas HBM budget or small enough that the
-        # XLA fallback in encode_lanes handles it
-        assert sh * w * 3 * 24 <= max(budget, 8 * w * 3 * 24)
+        assert sh >= 2, (w, sh)  # never the 1-row-stripe regime
+        # either inside the Pallas HBM budget or >= min_rows for the
+        # XLA fallback in encode_lanes
+        assert sh * w * 3 * 24 <= budget or sh >= 8, (w, sh)
     # and a wide-but-short image still round-trips (falls back if needed)
     img = make_photo(6, 640, c=3)
     blob = llcomp_tpu.compress(img, slices=2)
