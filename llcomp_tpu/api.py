@@ -126,7 +126,7 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
     bounds = container.slice_bounds(H, slice_h)
     if primed is None:
         primed = len(bounds) > 1 and _pick_primed(img, cfg)
-    streams = encode_stripes(img, bounds, cfg, primed)
+    streams = encode_stripes(img, bounds, cfg, primed, backend=backend)
     return container.pack_sliced(
         streams, W, H, C, slice_h, cfg,
         flags=container.FLAG_PRIMED if primed else 0,
@@ -134,7 +134,7 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
 
 
 def encode_stripes(img: np.ndarray, bounds, cfg: CodecConfig = REV2,
-                   primed: bool = False) -> list[bytes]:
+                   primed: bool = False, backend: str = "jax") -> list[bytes]:
     """Encode stripes as independent streams, batching equal-shaped stripes."""
     from . import encode
 
@@ -143,6 +143,13 @@ def encode_stripes(img: np.ndarray, bounds, cfg: CodecConfig = REV2,
         by_shape.setdefault(y1 - y0, []).append(i)
     out: list[bytes | None] = [None] * len(bounds)
     for rows, idxs in by_shape.items():
+        if backend == "native":
+            from . import host
+
+            lanes = np.stack([img[bounds[i][0] : bounds[i][1]] for i in idxs])
+            for i, blob in zip(idxs, host.encode_images(lanes, primed=primed)):
+                out[i] = blob
+            continue
         # bound device memory for very large stripes: the encode engines
         # hold O(n_sym*24) slot records per lane, so cap slots*lanes in
         # flight (~4 GB at 8 B/slot) and chunk the lane batch if needed
@@ -165,7 +172,8 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax") -> np
         streams, W, H, C, slice_h, flags = container.unpack_sliced(data, cfg)
         bounds = container.slice_bounds(H, slice_h)
         return decode_stripes(streams, bounds, W, C, cfg,
-                              primed=bool(flags & container.FLAG_PRIMED))
+                              primed=bool(flags & container.FLAG_PRIMED),
+                              backend=backend)
 
     if data[:1] == b"\x77":  # legacy revision-0 stream (llcomp.js)
         from . import rev0
@@ -187,7 +195,7 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax") -> np
 
 
 def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2,
-                   primed: bool = False) -> np.ndarray:
+                   primed: bool = False, backend: str = "jax") -> np.ndarray:
     from . import decode
 
     H = bounds[-1][1]
@@ -196,9 +204,16 @@ def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2,
     for i, (y0, y1) in enumerate(bounds):
         by_shape.setdefault(y1 - y0, []).append(i)
     for rows, idxs in by_shape.items():
-        lanes = decode.decode_lanes(
-            [streams[i] for i in idxs], (rows, W, C), cfg, primed=primed
-        )
+        if backend == "native":
+            from . import host
+
+            lanes = host.decode_streams(
+                [streams[i] for i in idxs], (rows, W, C), primed=primed
+            )
+        else:
+            lanes = decode.decode_lanes(
+                [streams[i] for i in idxs], (rows, W, C), cfg, primed=primed
+            )
         for k, i in enumerate(idxs):
             out[bounds[i][0] : bounds[i][1]] = lanes[k]
     return out

@@ -7,10 +7,20 @@ from __future__ import annotations
 
 import numpy as np
 
+from .core import tables
 from .native import load_library
 
+# The hash-bucketed prior rows for primed sliced containers (flag bit 0):
+# the native runtime takes the table by pointer so the format constants
+# live only in core/tables.py.
+_PRIOR = np.ascontiguousarray(tables.PRIOR_TAB, dtype=np.uint8)
 
-def encode_stream(img: np.ndarray) -> bytes:
+
+def _prior_ptr(primed: bool):
+    return _PRIOR.ctypes.data if primed else None
+
+
+def encode_stream(img: np.ndarray, primed: bool = False) -> bytes:
     """uint8 [H, W, C] -> headerless rev-2 stream (native scalar encoder)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     H, W, C = img.shape
@@ -18,21 +28,23 @@ def encode_stream(img: np.ndarray) -> bytes:
     cap = lib.llct_bound(W, H, C)
     out = np.empty(cap, dtype=np.uint8)
     n = lib.llct_encode_stream(
-        img.ctypes.data, W, H, C, out.ctypes.data, cap
+        img.ctypes.data, W, H, C, out.ctypes.data, cap, _prior_ptr(primed)
     )
     if n == 0:
         raise ValueError(f"native encode failed for shape {img.shape}")
     return out[:n].tobytes()
 
 
-def decode_stream(data: bytes, shape: tuple[int, int, int]) -> np.ndarray:
+def decode_stream(data: bytes, shape: tuple[int, int, int],
+                  primed: bool = False) -> np.ndarray:
     """Headerless rev-2 stream -> uint8 [H, W, C] (native scalar decoder)."""
     H, W, C = shape
     buf = np.frombuffer(data, dtype=np.uint8)
     out = np.empty((H, W, C), dtype=np.uint8)
     lib = load_library()
     rc = lib.llct_decode_stream(
-        buf.ctypes.data if buf.size else None, buf.size, W, H, C, out.ctypes.data
+        buf.ctypes.data if buf.size else None, buf.size, W, H, C,
+        out.ctypes.data, _prior_ptr(primed)
     )
     if rc != 0:
         raise ValueError("corrupt stream (native decoder)")
@@ -40,7 +52,8 @@ def decode_stream(data: bytes, shape: tuple[int, int, int]) -> np.ndarray:
 
 
 def decode_streams(
-    streams: list[bytes], shape: tuple[int, int, int], n_threads: int = 0
+    streams: list[bytes], shape: tuple[int, int, int], n_threads: int = 0,
+    primed: bool = False,
 ) -> np.ndarray:
     """Multithreaded native decode of equal-geometry streams -> [S, H, W, C].
 
@@ -64,13 +77,15 @@ def decode_streams(
     outs = (ctypes.c_void_p * S)(
         *[out[s].ctypes.data for s in range(S)]
     )
-    failures = lib.llct_decode_batch(datas, lens, S, W, H, C, outs, n_threads)
+    failures = lib.llct_decode_batch(datas, lens, S, W, H, C, outs,
+                                     n_threads, _prior_ptr(primed))
     if failures:
         raise ValueError(f"corrupt stream(s): {failures} of {S} failed")
     return out
 
 
-def encode_images(imgs: np.ndarray, n_threads: int = 0) -> list[bytes]:
+def encode_images(imgs: np.ndarray, n_threads: int = 0,
+                  primed: bool = False) -> list[bytes]:
     """Multithreaded native encode of equal-shaped images [S, H, W, C]."""
     import ctypes
     import os
@@ -85,7 +100,8 @@ def encode_images(imgs: np.ndarray, n_threads: int = 0) -> list[bytes]:
     srcs = (ctypes.c_void_p * S)(*[imgs[s].ctypes.data for s in range(S)])
     outs = (ctypes.c_void_p * S)(*[bufs[s].ctypes.data for s in range(S)])
     out_lens = (ctypes.c_size_t * S)()
-    lib.llct_encode_batch(srcs, S, W, H, C, outs, cap, out_lens, n_threads)
+    lib.llct_encode_batch(srcs, S, W, H, C, outs, cap, out_lens, n_threads,
+                          _prior_ptr(primed))
     if any(out_lens[s] == 0 for s in range(S)):
         raise ValueError("native batch encode failed")
     return [bufs[s, : out_lens[s]].tobytes() for s in range(S)]

@@ -76,12 +76,12 @@ def load_library() -> ctypes.CDLL:
         lib.llct_encode_stream.restype = ctypes.c_size_t
         lib.llct_encode_stream.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
         ]
         lib.llct_decode_stream.restype = ctypes.c_int
         lib.llct_decode_stream.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.llct_expand_slots.restype = ctypes.c_size_t
         lib.llct_expand_slots.argtypes = [
@@ -93,12 +93,13 @@ def load_library() -> ctypes.CDLL:
         lib.llct_decode_batch.argtypes = [
             pp, ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, pp, ctypes.c_int,
+            ctypes.c_void_p,
         ]
         lib.llct_encode_batch.restype = None
         lib.llct_encode_batch.argtypes = [
             pp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             pp, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p,
         ]
         _lib = lib
     return _lib

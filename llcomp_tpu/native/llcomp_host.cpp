@@ -100,6 +100,21 @@ inline int median3(int a, int b, int c) {
 constexpr int kModelHashes = 7926;   // reachable folded hashes 0..7925
 constexpr int kSub = 8;              // sub-states per hash
 constexpr int kModelSize = kModelHashes * kSub;
+constexpr int kPriorBuckets = 121;   // hash-bucketed prior rows (format data)
+
+// Sliced-container "primed" mode (container flag bit 0): context row h
+// starts at prior[(h % 121) * 8 + k] instead of 0.  The 121x8 row table is
+// supplied by the caller (tables.PRIOR_TAB) so the format constants live in
+// exactly one place; prior == nullptr keeps reference zero-start semantics.
+inline void init_model(uint8_t* model, const uint8_t* prior) {
+  if (!prior) {
+    std::memset(model, 0, kModelSize);
+    return;
+  }
+  for (int h = 0; h < kModelHashes; ++h)
+    std::memcpy(model + size_t(h) * kSub,
+                prior + size_t(h % kPriorBuckets) * kSub, kSub);
+}
 
 struct Sink {
   uint8_t* buf;
@@ -278,13 +293,15 @@ size_t llct_bound(int width, int height, int channels) {
 // Encode one headerless stream.  Returns bytes written, or 0 on overflow /
 // bad arguments.  `img` is uint8 [height, width, channels], C-contiguous.
 size_t llct_encode_stream(const uint8_t* img, int width, int height,
-                          int channels, uint8_t* out, size_t out_cap) {
+                          int channels, uint8_t* out, size_t out_cap,
+                          const uint8_t* prior) {
   if (width <= 0 || height <= 0 || channels <= 0) return 0;
   const int C = channels, W = width;
   const size_t stride = size_t(W) * C;
 
   int16_t* rowbuf = new int16_t[3 * stride]();
-  uint8_t* model = new uint8_t[kModelSize]();
+  uint8_t* model = new uint8_t[kModelSize];
+  init_model(model, prior);
   Sink sink{out, out_cap};
   Enc enc;
   enc.out = &sink;
@@ -335,13 +352,14 @@ size_t llct_encode_stream(const uint8_t* img, int width, int height,
 // Decode one headerless stream into uint8 [height, width, channels].
 // Returns 0 on success, 1 on corrupt stream.
 int llct_decode_stream(const uint8_t* data, size_t len, int width, int height,
-                       int channels, uint8_t* out) {
+                       int channels, uint8_t* out, const uint8_t* prior) {
   if (width <= 0 || height <= 0 || channels <= 0) return 1;
   const int C = channels, W = width;
   const size_t stride = size_t(W) * C;
 
   int16_t* rowbuf = new int16_t[3 * stride]();
-  uint8_t* model = new uint8_t[kModelSize]();
+  uint8_t* model = new uint8_t[kModelSize];
+  init_model(model, prior);
   Dec dec{data, len};
   dec.init();
   bool err = false;
@@ -396,21 +414,23 @@ struct BatchJob {
   const size_t* lens;
   uint8_t* const* outs;
   int width, height, channels, n;
+  const uint8_t* prior;
   std::atomic<int> next{0};
   std::atomic<int> failures{0};
 };
 
 int llct_decode_batch(const uint8_t* const* datas, const size_t* lens, int n,
                       int width, int height, int channels,
-                      uint8_t* const* outs, int n_threads) {
+                      uint8_t* const* outs, int n_threads,
+                      const uint8_t* prior) {
   if (n_threads < 1) n_threads = 1;
-  BatchJob job{datas, lens, outs, width, height, channels, n};
+  BatchJob job{datas, lens, outs, width, height, channels, n, prior};
   auto worker = [&job]() {
     for (;;) {
       int i = job.next.fetch_add(1);
       if (i >= job.n) break;
       if (llct_decode_stream(job.datas[i], job.lens[i], job.width, job.height,
-                             job.channels, job.outs[i]) != 0)
+                             job.channels, job.outs[i], job.prior) != 0)
         job.failures.fetch_add(1);
     }
   };
@@ -429,21 +449,23 @@ struct EncJob {
   size_t* out_lens;
   size_t cap;
   int width, height, channels, n;
+  const uint8_t* prior;
   std::atomic<int> next{0};
 };
 
 void llct_encode_batch(const uint8_t* const* imgs, int n, int width,
                        int height, int channels, uint8_t* const* outs,
-                       size_t cap, size_t* out_lens, int n_threads) {
+                       size_t cap, size_t* out_lens, int n_threads,
+                       const uint8_t* prior) {
   if (n_threads < 1) n_threads = 1;
-  EncJob job{imgs, outs, out_lens, cap, width, height, channels, n};
+  EncJob job{imgs, outs, out_lens, cap, width, height, channels, n, prior};
   auto worker = [&job]() {
     for (;;) {
       int i = job.next.fetch_add(1);
       if (i >= job.n) break;
       job.out_lens[i] = llct_encode_stream(
           job.imgs[i], job.width, job.height, job.channels, job.outs[i],
-          job.cap);
+          job.cap, job.prior);
     }
   };
   std::vector<std::thread> threads;

@@ -128,3 +128,18 @@ def test_native_batch_throughput_smoke(host):
     out = host.decode_streams(streams, (64, 64, 3), n_threads=4)
     np.testing.assert_array_equal(out, lanes)
     assert dt < 5.0
+
+
+def test_native_sliced_primed_container_matches_jax():
+    """backend='native' produces byte-identical sliced (primed) containers
+    and decodes them, exercising the prior table through the C ABI."""
+    import llcomp_tpu
+    from llcomp_tpu import api
+
+    img = make_photo(24, 16)
+    for primed in (False, True):
+        a = api.compress(img, slices=3, primed=primed)
+        b = api.compress(img, slices=3, primed=primed, backend="native")
+        assert a == b
+        out = api.decompress(b, backend="native")
+        np.testing.assert_array_equal(out, img)
