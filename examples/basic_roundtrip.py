@@ -2,7 +2,15 @@
 
     python examples/basic_roundtrip.py [image.png]
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # TPU plugins re-register
 
 import numpy as np
 
