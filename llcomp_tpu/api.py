@@ -79,6 +79,25 @@ def _pick_primed(img: np.ndarray, cfg: CodecConfig = REV2) -> bool:
     return (zs / max(n, 1)) < PRIMED_ZERO_FRAC_MAX
 
 
+def _resolve_backend(backend: str) -> str:
+    """backend='auto': the accelerator path on TPU hosts, otherwise the
+    threaded native C++ runtime (20-25 MP/s on a CPU host vs the XLA
+    engine's interpretive pace); every backend emits identical bytes."""
+    if backend != "auto":
+        return backend
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return "jax"
+    try:
+        from .native import load_library
+
+        load_library()
+        return "native"
+    except Exception:
+        return "jax"
+
+
 def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
              backend: str = "jax", revision: int = 2,
              primed: bool | None = None) -> bytes:
@@ -87,13 +106,18 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
     slices=None/1 -> reference-compatible single stream (bit-exact vs llcompc).
     slices='auto' or an int n -> sliced container with n independent stripes,
     encoded lane-parallel on the accelerator.
+    backend: 'jax' (device engines), 'native' (threaded C++ host runtime),
+    'oracle' (NumPy spec, single-stream only), or 'auto' (jax on TPU hosts,
+    native elsewhere) — all byte-identical.
     revision=0 -> the legacy llcomp.js bitstream (magic 0x77, float model).
     primed (sliced mode only): start each stripe's context row h at the
-    hash-bucketed prior tables.PRIOR_TAB[h % 121] instead of zeros — recovers most of the per-stripe restart ratio loss on
-    photographic content.  None = decide per image (_pick_primed).
+    hash-bucketed prior tables.PRIOR_TAB[h % 121] instead of zeros —
+    recovers most of the per-stripe restart ratio loss on photographic
+    content.  None = decide per image (_pick_primed).
     """
     img = _as_image(img)
     H, W, C = img.shape
+    backend = _resolve_backend(backend)
 
     if revision == 0:
         from . import rev0
@@ -166,8 +190,13 @@ def encode_stripes(img: np.ndarray, bounds, cfg: CodecConfig = REV2,
 
 
 def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax") -> np.ndarray:
-    """Decompress either container format back to a uint8 [H, W, C] image."""
+    """Decompress either container format back to a uint8 [H, W, C] image.
+
+    backend: 'jax', 'native', 'oracle' (single-stream only), or 'auto'
+    (jax on TPU hosts, native elsewhere).
+    """
     data = bytes(data)
+    backend = _resolve_backend(backend)
     if container.is_sliced(data):
         streams, W, H, C, slice_h, flags = container.unpack_sliced(data, cfg)
         bounds = container.slice_bounds(H, slice_h)

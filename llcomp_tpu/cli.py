@@ -195,7 +195,8 @@ def main(argv=None) -> int:
     pc.add_argument("-o", "--output")
     pc.add_argument("--slices", default=None,
                     help="'auto' or stripe count; omit for reference format")
-    pc.add_argument("--backend", default="jax", choices=["jax", "oracle", "native"])
+    pc.add_argument("--backend", default="auto",
+                    choices=["auto", "jax", "oracle", "native"])
     pc.add_argument("--revision", type=int, default=2, choices=[0, 2],
                     help="bitstream revision: 2 (default) or legacy 0 (llcomp.js)")
     pc.set_defaults(fn=_cmd_compress)
@@ -203,7 +204,8 @@ def main(argv=None) -> int:
     pd = sub.add_parser("decompress", help=".llcomp/.llct -> image")
     pd.add_argument("input")
     pd.add_argument("-o", "--output")
-    pd.add_argument("--backend", default="jax", choices=["jax", "oracle", "native"])
+    pd.add_argument("--backend", default="auto",
+                    choices=["auto", "jax", "oracle", "native"])
     pd.set_defaults(fn=_cmd_decompress)
 
     pi = sub.add_parser("info", help="inspect a compressed file")
