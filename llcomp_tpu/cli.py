@@ -171,11 +171,12 @@ def _cmd_corpus(args) -> int:
         print(f"error: no images in {indir}", file=sys.stderr)
         return 1
     images = [load_image(p) for p in paths]
-    blobs, stats = corpus.compress_corpus(images, slice_h=args.slice_h)
+    blobs, stats = corpus.compress_corpus(images, slice_h=args.slice_h,
+                                          backend="auto")
     for p, blob in zip(paths, blobs):
         (outdir / (p.name + EXT_SLICED)).write_bytes(blob)
     if args.verify:
-        outs = corpus.decompress_corpus(blobs)
+        outs = corpus.decompress_corpus(blobs, backend="auto")
         bad = [p.name for p, a, b in zip(paths, outs, images)
                if not np.array_equal(a, b)]
         if bad:

@@ -76,6 +76,7 @@ def compress_corpus(
     max_lanes_per_batch: int = 2048,
     mesh=None,
     primed: bool | None = None,
+    backend: str = "jax",
 ) -> tuple[list[bytes], CorpusStats]:
     """Compress many images -> per-image sliced containers + stats.
 
@@ -83,7 +84,9 @@ def compress_corpus(
     at ``max_lanes_per_batch`` lanes per dispatch).  ``primed`` applies the
     sliced-mode model prior to every container; None decides once for the
     whole corpus (majority vote of api._pick_primed over a sample) so mixed
-    batches stay lockstep.
+    batches stay lockstep.  ``backend``: 'jax', 'native' (threaded C++
+    runtime), or 'auto' (jax on TPU hosts, native elsewhere) — identical
+    bytes either way; ``mesh`` forces the sharded jax path.
     """
     from . import encode as jenc
 
@@ -120,6 +123,11 @@ def compress_corpus(
             parallel.encode_lanes_sharded(lanes, mesh, cfg, primed)
             for _, lanes in chunks
         ]
+    elif api._resolve_backend(backend) == "native":
+        from . import host
+
+        all_streams = [host.encode_images(lanes, primed=primed)
+                       for _, lanes in chunks]
     else:
         import jax
 
@@ -163,10 +171,12 @@ def compress_corpus(
 
 def decompress_corpus(
     blobs: list[bytes], cfg: CodecConfig = REV2, max_lanes_per_batch: int = 2048,
-    mesh=None,
+    mesh=None, backend: str = "jax",
 ) -> list[np.ndarray]:
     """Decompress many sliced containers, batching stripes across images."""
     from . import decode as jdec
+
+    native = mesh is None and api._resolve_backend(backend) == "native"
 
     metas = [container.unpack_sliced(b, cfg) for b in blobs]
     groups: dict[tuple[int, int, int, bool], list[tuple[int, int, bytes]]] = {}
@@ -190,6 +200,11 @@ def decompress_corpus(
                 lanes = parallel.decode_lanes_sharded(
                     [m[2] for m in chunk], (rows, W, C), mesh, cfg, primed
                 )
+            elif native:
+                from . import host
+
+                lanes = host.decode_streams([m[2] for m in chunk],
+                                            (rows, W, C), primed=primed)
             else:
                 lanes = jdec.decode_lanes([m[2] for m in chunk], (rows, W, C),
                                           cfg, primed=primed)
