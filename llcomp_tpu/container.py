@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import struct
 
-import numpy as np
 
 from .core.config import REV2, CodecConfig
 

@@ -13,7 +13,6 @@ match the reference bit-for-bit; see the NumPy oracle for the scalar spec.
 """
 from __future__ import annotations
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp

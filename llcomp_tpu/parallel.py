@@ -20,12 +20,10 @@ as long as every device has enough lanes to fill — which is why
 """
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import coder, container
