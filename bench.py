@@ -29,6 +29,38 @@ import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
+
+def _tpu_tunnel_alive(timeout_s: int = 150) -> bool:
+    """Probe device liveness in a SUBPROCESS before this process touches
+    jax: the tunneled backend hangs jax.devices() indefinitely when the
+    link is down (no error), which would hang the whole benchmark."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+_FORCED_CPU_FALLBACK = False
+if (os.environ.get("JAX_PLATFORMS") not in ("cpu",)
+        and os.environ.get("BENCH_SKIP_LIVENESS") != "1"
+        and not _tpu_tunnel_alive()):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _FORCED_CPU_FALLBACK = True
+
+if _FORCED_CPU_FALLBACK:
+    # keep the degraded run bounded: one rep, no extra geometries, no
+    # device-only metrics (they are meaningless off-chip)
+    os.environ.setdefault("BENCH_REPS", "1")
+    os.environ.setdefault("BENCH_EXTRA", "0")
+    os.environ.setdefault("BENCH_DEVICE", "0")
+    os.environ.setdefault("BENCH_PIPELINE_BATCHES", "2")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -191,6 +223,8 @@ def main() -> int:
         "compile_s": round(compile_s, 1),
         "platform": jax.devices()[0].platform,
     }
+    if _FORCED_CPU_FALLBACK:
+        result["tpu_tunnel_down"] = True  # measured on CPU: chip unreachable
 
     # -- native host runtime (the framework's CPU production path) -------
     try:
