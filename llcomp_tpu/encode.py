@@ -676,18 +676,27 @@ def encode_lanes_pipelined(
     # per-batch count/length syncs (uploads block the dispatching thread
     # on this backend).
     batches = [np.ascontiguousarray(b, dtype=np.uint8) for b in batches]
+    stop = None
     if os.environ.get("LLCT_PIPELINE_THREADS", "0") != "0" and len(batches) > 1:
         import queue
         import threading
 
         q: queue.Queue = queue.Queue(maxsize=2)
+        stop = threading.Event()
 
         def _uploader():
             for imgs in batches:
                 try:
-                    q.put(_launch_stage_counts(imgs, cfg))
+                    item = _launch_stage_counts(imgs, cfg)
                 except BaseException as e:  # surface in the consumer
-                    q.put(e)
+                    item = e
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set() or isinstance(item, BaseException):
                     return
 
         threading.Thread(target=_uploader, daemon=True).start()
@@ -703,14 +712,18 @@ def encode_lanes_pipelined(
     else:
         staged = [_launch_stage_counts(imgs, cfg) for imgs in batches]
     inflight = []
-    for ctx in staged:
-        imgs = ctx[0]
-        n_sym = int(np.prod(imgs.shape[1:]))
-        outcap = _outcap(n_sym)
-        kp_g, kp_fin, lens_g, check = _launch_stage_rest(
-            ctx, outcap, speculate=False, primed=primed
-        )
-        inflight.append((imgs, outcap, kp_g, kp_fin, lens_g, check))
+    try:
+        for ctx in staged:
+            imgs = ctx[0]
+            n_sym = int(np.prod(imgs.shape[1:]))
+            outcap = _outcap(n_sym)
+            kp_g, kp_fin, lens_g, check = _launch_stage_rest(
+                ctx, outcap, speculate=False, primed=primed
+            )
+            inflight.append((imgs, outcap, kp_g, kp_fin, lens_g, check))
+    finally:
+        if stop is not None:
+            stop.set()  # unblock the uploader if we are erroring out
 
     # two-step collect: sync each batch's (tiny) lens, dispatch its byte
     # expansion at the actual max length and start the device->host copy,
