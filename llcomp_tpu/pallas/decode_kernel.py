@@ -124,28 +124,39 @@ def _write_model_init(model_ref, sections: int, primed: bool, plo, phi):
     sliced-mode hash-bucketed prior (tables.PRIOR_TAB; container flag
     bit 0).  Model word 2h holds hash h's substates 0-3, word 2h+1
     substates 4-7, so row r of a section gets plo/phi[(r >> 1) % 121]
-    by row parity — looked up from the (8,128) table OPERANDS (captured
-    constants are not allowed in kernels) in bounded row chunks, then
-    stored once per model section (the blocked kernel stacks ``sections``
-    groups' models, each restarting the pattern at its own base; trash
-    rows beyond the last hash row may hold anything)."""
+    by row parity.  Uses only hardware-proven Mosaic patterns: full-vreg
+    (8,128) lane-axis dynamic_gather from the table OPERANDS (captured
+    constants are not allowed in kernels; bigger gather shapes do not
+    lower) + dynamic sublane row stores, in a fori loop of 8-row tiles
+    (the NS4 % 8 tail re-stores an overlapping tile — values depend only
+    on the absolute row, so the overlap is idempotent).  The blocked
+    kernel stacks ``sections`` groups' models, each restarting the
+    pattern at its own base; trash rows beyond the last hash row may
+    hold anything."""
     if not primed:
         model_ref[:] = jnp.zeros((sections * NS4, LANES), jnp.int32)
         return
-    CH = 2048
-    for c0 in range(0, NS4, CH):
-        rows = min(CH, NS4 - c0)
-        r = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) + c0
+    plo_v = plo[:]
+    phi_v = phi[:]
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+
+    def tile_at(c0):
+        r = sub8 + c0
         b = (r >> 1) % 121
-        lo = jnp.take_along_axis(
-            jnp.broadcast_to(plo[0:1, :], (rows, LANES)), b, axis=1
-        )
-        hi = jnp.take_along_axis(
-            jnp.broadcast_to(phi[0:1, :], (rows, LANES)), b, axis=1
-        )
-        piece = jnp.where((r & 1) == 0, lo, hi)
-        for s in range(sections):
-            model_ref[pl.ds(s * NS4 + c0, rows)] = piece
+        lo = jnp.take_along_axis(plo_v, b, axis=1)
+        hi = jnp.take_along_axis(phi_v, b, axis=1)
+        return jnp.where((r & 1) == 0, lo, hi)
+
+    for s in range(sections):
+        base = s * NS4
+
+        def body(i, _, base=base):
+            model_ref[pl.ds(base + i * 8, 8)] = tile_at(i * 8)
+            return 0
+
+        jax.lax.fori_loop(0, NS4 // 8, body, 0)
+        if NS4 % 8:
+            model_ref[pl.ds(base + NS4 - 8, 8)] = tile_at(NS4 - 8)
 
 
 def _make_kernel(H: int, W: int, C: int, cap: int, cfg: CodecConfig,
