@@ -31,10 +31,10 @@ from bench import make_photo  # noqa: E402
 from llcomp_tpu import encode as jenc  # noqa: E402
 from llcomp_tpu.core.config import REV2  # noqa: E402
 
-H = W = 512
+H = W = int(os.environ.get("PROBE_SIZE", "512"))
 CH = 3
 SLICE_H = 8
-N_IMAGES = 16
+N_IMAGES = int(os.environ.get("PROBE_IMAGES", "16"))
 NB = int(os.environ.get("PROBE_BATCHES", "4"))
 MP = N_IMAGES * H * W / 1e6
 N_SYM = SLICE_H * W * CH
