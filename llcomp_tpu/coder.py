@@ -174,12 +174,11 @@ def expand_kp_grouped(kp: jnp.ndarray, kp_fin: jnp.ndarray, outcap: int):
     sv = jnp.where(
         is_probe | (sk == BIG), 0, (((sk >> 10) + 1) << 9) | (sk & 0x1FF)
     )
-    n = sv.shape[1]
-    d = 1
-    while d < n:
-        prev = jnp.pad(sv, ((0, 0), (d, 0), (0, 0), (0, 0)))[:, :n]
-        sv = jnp.where(sv != 0, sv, prev)
-        d *= 2
+    # forward-fill the latest slot entry: offsets strictly increase per
+    # lane, so live sv values are strictly increasing and "last nonzero"
+    # is a running max — one fused cummax instead of a log-pass pad/where
+    # sweep (each of whose ~14 passes round-trips the array through HBM)
+    sv = jax.lax.cummax(sv, axis=1)
 
     pp = sk >> 10
     f_off = (sv >> 9) - 1
@@ -242,13 +241,9 @@ def expand_slots_on_device(meta: jnp.ndarray, runs: jnp.ndarray, outcap: int):
     vals = jnp.concatenate([slot_v, jnp.zeros((S, outcap), jnp.int32)], axis=1)
     sk, sv = jax.lax.sort((keys, vals), dimension=1, num_keys=1)
 
-    # 3. forward-fill the latest slot entry (log-step "last valid" sweep)
-    n = sv.shape[1]
-    d = 1
-    while d < n:
-        prev = jnp.pad(sv, ((0, 0), (d, 0)))[:, :n]
-        sv = jnp.where(sv != 0, sv, prev)
-        d *= 2
+    # 3. forward-fill the latest slot entry: slot offsets strictly increase
+    #    per lane => live sv values strictly increase => running max
+    sv = jax.lax.cummax(sv, axis=1)
 
     # 4. probe bytes, extracted in position order
     is_probe = (sk & 1) == 1

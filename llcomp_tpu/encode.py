@@ -457,12 +457,8 @@ def _stage_expand_only(kp_g, kp_fin, outcap: int):
     return coder.expand_kp_grouped(kp_g, kp_fin, outcap)
 
 
-def _group_host(imgs: np.ndarray) -> np.ndarray:
-    """[S, h, W, C] u8 -> [G, n_pad, 8, 128] u8 (host-side; ~6 MB memcpy).
-
-    Device-side lane relayouts cost ~1 s/GB on this backend, so the tiny
-    uint8 input is pre-grouped on the host instead.
-    """
+def _flat_host(imgs: np.ndarray) -> np.ndarray:
+    """[S, h, W, C] u8 -> padded [Sp, n_pad] u8 (one contiguous memcpy)."""
     import math
 
     from .pallas import encode_kernels as pk
@@ -476,6 +472,32 @@ def _group_host(imgs: np.ndarray) -> np.ndarray:
     Sp = -(-S // pk.GROUP) * pk.GROUP
     buf = np.zeros((Sp, n_pad), dtype=np.uint8)
     buf[:S, :n_sym] = imgs.reshape(S, n_sym)
+    return buf
+
+
+@jax.jit
+def _regroup_device(flat: jnp.ndarray) -> jnp.ndarray:
+    """[Sp, n_pad] u8 -> kernel group layout [G, n_pad, 8, 128] u8.
+
+    Relayouts run at ~1 s/GB on-device (~13 ms/batch); doing the lane
+    grouping there instead of a strided host transpose saves ~65 ms of
+    host-thread time per batch (tools/probe_group.py) — host time is the
+    pipelined path's critical resource.
+    """
+    from .pallas import encode_kernels as pk
+
+    Sp, n_pad = flat.shape
+    G = Sp // pk.GROUP
+    return flat.reshape(G, pk.SUBS, pk.LANES, n_pad).transpose(0, 3, 1, 2)
+
+
+def _group_host(imgs: np.ndarray) -> np.ndarray:
+    """[S, h, W, C] u8 -> [G, n_pad, 8, 128] u8 (host-side reference layout;
+    the production path uploads ``_flat_host`` and regroups on-device)."""
+    from .pallas import encode_kernels as pk
+
+    buf = _flat_host(imgs)
+    Sp, n_pad = buf.shape
     return np.ascontiguousarray(
         buf.reshape(Sp // pk.GROUP, pk.SUBS, pk.LANES, n_pad).transpose(
             0, 3, 1, 2
@@ -497,8 +519,9 @@ def _launch_stage_counts(imgs: np.ndarray, cfg: CodecConfig = REV2):
     multi-batch caller overlap every batch's count latency with the next
     batch's host grouping + upload."""
     H, W, C = imgs.shape[1], imgs.shape[2], imgs.shape[3]
-    imgs_g = profiling.timed("encode/upload", jax.device_put,
-                             _group_host(imgs))
+    imgs_g = _regroup_device(
+        profiling.timed("encode/upload", jax.device_put, _flat_host(imgs))
+    )
     hash_g, diff_g, counts = profiling.timed(
         "encode/precompute", _stage_precompute_g, imgs_g, H, W, C, cfg
     )
