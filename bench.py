@@ -440,7 +440,11 @@ def _run_config(H: int, CH: int, n_images: int, slice_h: int, primed: bool):
     warm = batch(0)
     t0 = time.time()
     wstreams = jenc.encode_lanes(warm, engine=engine, primed=primed)
-    jdec.decode_lanes(wstreams, (slice_h, W, CH), engine=dec_engine,
+    # warm with the TIMED pass's lane count: the pallas decoder splits G
+    # groups into superblocks of NSUB<=8, and a different G would leave a
+    # fresh kernel-variant compile inside the timed region (seen as a 19 s
+    # "decode" on the 256x4 config)
+    jdec.decode_lanes(wstreams * nb, (slice_h, W, CH), engine=dec_engine,
                       primed=primed)
     compile_s = time.time() - t0
     fbs = [batch(1 + r) for r in range(nb)]
