@@ -396,7 +396,7 @@ def _decode_device_only(streams, shape, primed) -> float:
     for s, blob in enumerate(streams):
         data[s // dk.LANES, : len(blob), s % dk.LANES] = np.frombuffer(
             blob, dtype=np.uint8)
-    step = dk._pick_nsub(G, cap)
+    step = dk._pick_nsub(G, cap, W * C)
     ups = [jax.device_put(data[g : g + step]) for g in range(0, G, step)]
     for u in ups:
         u.block_until_ready()

@@ -633,7 +633,7 @@ def _decode_lanes_pallas(
     # groups into vreg sublanes — see decode_kernel._pick_nsub), all
     # dispatched before any sync so later kernels overlap earlier
     # superblocks' u8 image downloads
-    step = dk._pick_nsub(G, cap)
+    step = dk._pick_nsub(G, cap, W * C)
     inflight = [
         profiling.timed(
             "decode/pallas_kernel", dk.decode_groups_images,

@@ -871,15 +871,25 @@ def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
     return _decode_groups_impl(data, H, W, C, cfg, "", primed)
 
 
-def _pick_nsub(G: int, cap: int) -> int:
+def _pick_nsub(G: int, cap: int, stride: int = 1536) -> int:
     """Lane-groups per kernel instance.  More groups amortize the decision
     machine's vector instructions (sublane packing) but multiply the VMEM
-    model/ring/data footprint; 8 groups ~= 90-110 MB, near the v5e VMEM
-    limit, so very long streams (big cap) drop to 4."""
+    footprint, so fit as many as the v5e VMEM limit allows.  Per group:
+    the packed model (NS4 words), the 3-line pixel ring (scales with
+    ``stride`` = W*C — at 2048 px wide it alone is ~9.5 MB), the byte
+    window, and the SYMCHUNK planes block, all x 128 lanes."""
     env = os.environ.get("LLCT_DECODE_NSUB")
     if env:
         return max(1, min(8, int(env), G))
-    return max(1, min(8 if cap <= 24576 else 4, G))
+    per_group = (
+        NS4 * 512                      # model scratch
+        + (32 + 3 * stride) * 512      # reconstructed-line ring
+        + cap * 128                    # packed stream window (cap4 i32)
+        + SYMCHUNK * 512               # planes output block
+        + 64 * 1024                    # coder/pending/SMEM slack
+    )
+    budget = 112 * 1024 * 1024         # headroom under the 128 MB limit
+    return max(1, min(8, budget // per_group, G))
 
 
 def _decode_groups_impl(data, H, W, C, cfg, ablate, primed=False):
@@ -906,7 +916,7 @@ def _decode_groups_impl(data, H, W, C, cfg, ablate, primed=False):
                     or os.environ.get("LLCT_DECODE_FORCE_BLOCKED") == "1"))
     tabs = [_FUSED, _Q11_LO, _Q11_HI, _Q5_LO, _Q5_HI, _PRIOR_LO_B, _PRIOR_HI_B]
     if blocked:
-        NSUB = _pick_nsub(G, cap)
+        NSUB = _pick_nsub(G, cap, stride)
         G_out = -(-G // NSUB)
         Gp = G_out * NSUB
         if Gp != G:
