@@ -405,13 +405,12 @@ def _stage_compact(kplo, kphi, origsym, K: int, Tq: int):
         # coder will consume (the full-T unpack dominated HBM at large T)
         s = s[:, :Tq]
         dead = s == jnp.int64(0x7FFFFFFFFFFFFFFF)
-        outs = [
-            jnp.where(dead, 0, (s >> (10 * j)) & 0x3FF).astype(jnp.int32)
-            for j in range(4)
-        ]
-    return jnp.stack(outs, axis=2).reshape(
-        G, Tq * 4, kplo.shape[2], kplo.shape[3]
-    )
+        # pair-packed payload halves for the quad coder kernel: no 4-way
+        # stack/reshape interleave (an HBM relayout of the whole coder
+        # input), and the kernel reads half the bytes per decision
+        qlo = jnp.where(dead, 0, s & 0xFFFFF).astype(jnp.int32)
+        qhi = jnp.where(dead, 0, (s >> 20) & 0xFFFFF).astype(jnp.int32)
+    return qlo, qhi
 
 
 @jax.jit
@@ -581,17 +580,20 @@ def _launch_stage_rest(ctx, outcap: int, speculate: bool = True,
         )
         kplo, kphi = profiling.timed("encode/walk", pk.walk_symbols, xs_sym,
                                      K, primed)
-        coder_xs = profiling.timed(
+        qlo, qhi = profiling.timed(
             "encode/compact_sort", _stage_compact, kplo, kphi, origsym, K,
             min(T, Tq_req * 4) // 4
         )
+        kp_g, fin = profiling.timed("encode/coder", pk.coder_scan_off_q,
+                                    qlo, qhi)
     else:
         stream_g = pk.build_stream(hash_g, diff_g, n_sym, K)
         skey, spay = _stage_fwd_sort(stream_g)
         skey, spay = skey[:, :Tc], spay[:, :Tc]
         probs_g = pk.walk_probs(_stage_walk_xs(skey, spay))
         coder_xs = _stage_back_sort(skey, spay, probs_g)
-    kp_g, fin = profiling.timed("encode/coder", pk.coder_scan_off, coder_xs)
+        kp_g, fin = profiling.timed("encode/coder", pk.coder_scan_off,
+                                    coder_xs)
     kp_fin, lens = profiling.timed("encode/finish", _stage_finish, fin)
 
     def check() -> bool:

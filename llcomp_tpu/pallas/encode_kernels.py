@@ -548,6 +548,112 @@ def coder_scan_off(xs: jnp.ndarray):
     return kp, fin
 
 
+def _coder_kernel_off_q(qlo_ref, qhi_ref, kp_ref, fin_ref, low_s, rng_s,
+                        pend_s, run_s, off_s):
+    """Quad-pair variant of ``_coder_kernel_off``: consumes the compacting
+    sort's pair-packed payloads directly (qlo = rec2<<10|rec1, qhi =
+    rec4<<10|rec3, rec = valid<<9|bit<<8|prob, stream order) and unpacks
+    the four decisions in VMEM — the XLA-side 4-way stack/reshape interleave
+    and its ~2x HBM round-trip disappear, and the kernel reads half the
+    bytes per decision."""
+    tchunk = pl.program_id(1)
+
+    @pl.when(tchunk == 0)
+    def _():
+        low_s[:] = jnp.zeros((SUBS, LANES), jnp.int32)
+        rng_s[:] = jnp.full((SUBS, LANES), 0xFF00, jnp.int32)
+        pend_s[:] = jnp.full((SUBS, LANES), -1, jnp.int32)
+        run_s[:] = jnp.zeros((SUBS, LANES), jnp.int32)
+        off_s[:] = jnp.zeros((SUBS, LANES), jnp.int32)
+
+    def put(x, t_out, carry):
+        low, rng, pend, run, off = carry
+        prob = x & 0xFF
+        bit = (x & 0x100) != 0
+        valid = (x & 0x200) != 0
+
+        range1 = (rng * prob) >> 8
+        low = jnp.where(bit & valid, low + rng - range1, low)
+        rng = jnp.where(valid, jnp.where(bit, range1, rng - range1), rng)
+        do = valid & (rng < 0x100)
+
+        first = pend < 0
+        nocarry = low <= 0xFF00
+        cry = low >= 0x10000
+        emit = do & ~first & (nocarry | cry)
+        defer = do & ~first & ~nocarry & ~cry
+        head = jnp.where(cry, (pend + 1) & 0xFF, pend & 0xFF)
+
+        kp_ref[0, t_out] = jnp.where(
+            emit,
+            (off << 9) | (cry.astype(jnp.int32) << 8) | head,
+            jnp.int32(0x7FFFFFFF),
+        )
+
+        off = jnp.where(emit, off + 1 + run, off)
+        pend = jnp.where(do & ~defer, (low >> 8) & 0xFF, pend)
+        run = jnp.where(emit, 0, jnp.where(defer, run + 1, run))
+        low = jnp.where(do, (low & 0xFF) << 8, low)
+        rng = jnp.where(do, rng << 8, rng)
+        return low, rng, pend, run, off
+
+    def step(t, carry):
+        qlo = qlo_ref[0, t]
+        qhi = qhi_ref[0, t]
+        carry = put(qlo & 0x3FF, 4 * t, carry)
+        carry = put((qlo >> 10) & 0x3FF, 4 * t + 1, carry)
+        carry = put(qhi & 0x3FF, 4 * t + 2, carry)
+        return put((qhi >> 10) & 0x3FF, 4 * t + 3, carry)
+
+    low, rng, pend, run, off = jax.lax.fori_loop(
+        0, TCHUNK // 4, step,
+        (low_s[:], rng_s[:], pend_s[:], run_s[:], off_s[:]),
+    )
+    low_s[:] = low
+    rng_s[:] = rng
+    pend_s[:] = pend
+    run_s[:] = run
+    off_s[:] = off
+
+    @pl.when(tchunk == pl.num_programs(1) - 1)
+    def _():
+        fin_ref[0, 0] = low
+        fin_ref[0, 1] = rng
+        fin_ref[0, 2] = pend
+        fin_ref[0, 3] = run
+        fin_ref[0, 4] = off
+
+
+@functools.partial(jax.jit, static_argnames=())
+def coder_scan_off_q(qlo: jnp.ndarray, qhi: jnp.ndarray):
+    """qlo/qhi [G, Tq, 8, 128] i32 pair-packed quad payloads (stream order,
+    dead quads 0) -> (kp [G, Tq*4, 8, 128] i32 offset-packed byte records,
+    fin [G, 5, 8, 128] final carries incl. the byte offset)."""
+    G, Tq = qlo.shape[0], qlo.shape[1]
+    grid = (G, Tq * 4 // TCHUNK)
+    qspec = pl.BlockSpec((1, TCHUNK // 4, SUBS, LANES),
+                         lambda g, t: (g, t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kp, fin = pl.pallas_call(
+        _coder_kernel_off_q,
+        grid=grid,
+        in_specs=[qspec, qspec],
+        out_specs=(
+            pl.BlockSpec((1, TCHUNK, SUBS, LANES), lambda g, t: (g, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, SUBS, LANES), lambda g, t: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, Tq * 4, SUBS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G, 5, SUBS, LANES), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((SUBS, LANES), jnp.int32)] * 5,
+        interpret=_use_interpret(),
+    )(qlo, qhi)
+    return kp, fin
+
+
 @functools.partial(jax.jit, static_argnames=())
 def coder_scan(xs: jnp.ndarray):
     """xs [G, T, 8, 128] int32 -> (meta, runs [G, T, 8, 128], fin [G, 4, 8, 128])."""
