@@ -189,11 +189,19 @@ def encode_stripes(img: np.ndarray, bounds, cfg: CodecConfig = REV2,
     return out  # type: ignore[return-value]
 
 
-def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax") -> np.ndarray:
+def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax",
+               strict: bool = True):
     """Decompress either container format back to a uint8 [H, W, C] image.
 
     backend: 'jax', 'native', 'oracle' (single-stream only), or 'auto'
     (jax on TPU hosts, native elsewhere).
+    strict: when False (sliced containers), a corrupt slice no longer
+    raises away the whole image — returns ``(img, bad_slices)`` where
+    every slice NOT listed in ``bad_slices`` holds its exact pixels and
+    flagged slices hold undefined bytes.  Repair with
+    ``reencode_slice(data, i, rows)`` per flagged index.  Single-stream
+    containers have one slice, so strict=False returns ``(img, [0])`` on
+    corruption.
     """
     data = bytes(data)
     backend = _resolve_backend(backend)
@@ -202,7 +210,7 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax") -> np
         bounds = container.slice_bounds(H, slice_h)
         return decode_stripes(streams, bounds, W, C, cfg,
                               primed=bool(flags & container.FLAG_PRIMED),
-                              backend=backend)
+                              backend=backend, strict=strict)
 
     if data[:1] == b"\x77":  # legacy revision-0 stream (llcomp.js)
         from . import rev0
@@ -210,25 +218,43 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax") -> np
         return rev0.decode(data)
 
     payload, W, H, C = container.unpack_single(data, cfg)
-    if backend == "oracle":
-        from . import oracle
 
-        return oracle.decode(data, cfg)
-    if backend == "native":
-        from . import host
+    def _single():
+        if backend == "oracle":
+            from . import oracle
 
-        return host.decode_stream(payload, (H, W, C))
-    from . import decode
+            return oracle.decode(data, cfg)
+        if backend == "native":
+            from . import host
 
-    return decode.decode_lanes([payload], (H, W, C), cfg)[0]
+            return host.decode_stream(payload, (H, W, C))
+        from . import decode
+
+        return decode.decode_lanes([payload], (H, W, C), cfg)[0]
+
+    if strict:
+        return _single()
+    try:
+        return _single(), []
+    except ValueError:
+        return np.zeros((H, W, C), np.uint8), [0]
 
 
 def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2,
-                   primed: bool = False, backend: str = "jax") -> np.ndarray:
+                   primed: bool = False, backend: str = "jax",
+                   strict: bool = True):
+    """Decode a sliced container's stripes into one image.
+
+    strict=False returns ``(img, bad_slices)`` instead of raising on a
+    corrupt slice: the flagged stripes' rows are undefined, every other
+    stripe is exact (per-slice stream independence, SURVEY §5; the repair
+    primitive is ``reencode_slice``).
+    """
     from . import decode
 
     H = bounds[-1][1]
     out = np.empty((H, W, C), dtype=np.uint8)
+    bad_slices: list[int] = []
     by_shape: dict[int, list[int]] = {}
     for i, (y0, y1) in enumerate(bounds):
         by_shape.setdefault(y1 - y0, []).append(i)
@@ -236,16 +262,39 @@ def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2,
         if backend == "native":
             from . import host
 
-            lanes = host.decode_streams(
-                [streams[i] for i in idxs], (rows, W, C), primed=primed
-            )
+            # the native runtime decodes streams independently: isolate
+            # faults per slice by falling back to one-at-a-time on error
+            try:
+                lanes = host.decode_streams(
+                    [streams[i] for i in idxs], (rows, W, C), primed=primed
+                )
+            except ValueError:
+                if strict:
+                    raise
+                lanes = np.zeros((len(idxs), rows, W, C), np.uint8)
+                for k, i in enumerate(idxs):
+                    try:
+                        lanes[k] = host.decode_streams(
+                            [streams[i]], (rows, W, C), primed=primed)[0]
+                    except ValueError:
+                        bad_slices.append(i)
         else:
-            lanes = decode.decode_lanes(
-                [streams[i] for i in idxs], (rows, W, C), cfg, primed=primed
+            lanes, bad = decode.decode_lanes(
+                [streams[i] for i in idxs], (rows, W, C), cfg, primed=primed,
+                errors="report",
             )
+            if bad:
+                if strict:
+                    raise ValueError(
+                        "corrupt stream in slices "
+                        f"{sorted(idxs[b] for b in bad)}"
+                    )
+                bad_slices.extend(idxs[b] for b in bad)
         for k, i in enumerate(idxs):
             out[bounds[i][0] : bounds[i][1]] = lanes[k]
-    return out
+    if strict:
+        return out
+    return out, sorted(bad_slices)
 
 
 def reencode_slice(data: bytes, index: int, stripe, cfg: CodecConfig = REV2) -> bytes:

@@ -617,7 +617,7 @@ def _bucket_cap(n: int, quantum: int = 4096) -> int:
 def _decode_lanes_pallas(
     streams: list[bytes], shape: tuple[int, int, int], cfg: CodecConfig,
     primed: bool = False,
-) -> np.ndarray:
+) -> tuple[np.ndarray, np.ndarray]:
     from .pallas import decode_kernel as dk
 
     H, W, C = shape
@@ -652,16 +652,12 @@ def _decode_lanes_pallas(
         parts.append(profiling.timed("decode/download", np.asarray, imgs))
         lane_err.append(np.asarray(err))
     lane_err = np.concatenate(lane_err)[:S]
-    if lane_err.any():
-        raise ValueError(
-            f"corrupt stream in lanes {np.nonzero(lane_err)[0].tolist()}"
-        )
-    return np.concatenate(parts)[:S]
+    return np.concatenate(parts)[:S], lane_err
 
 
 def decode_lanes(
     streams: list[bytes], shape: tuple[int, int, int], cfg: CodecConfig = REV2,
-    engine: str = "auto", primed: bool = False,
+    engine: str = "auto", primed: bool = False, errors: str = "raise",
 ) -> np.ndarray:
     """Decode equal-geometry headerless streams -> images [S, H, W, C] u8.
 
@@ -672,9 +668,17 @@ def decode_lanes(
     primed: start context row h at the hash-bucketed prior
     tables.PRIOR_TAB[h % 121] instead of zeros (sliced containers with
     flag bit 0; see tools/derive_prior.py).
+    errors: 'raise' (default) raises ValueError if any lane's stream is
+    corrupt; 'report' instead returns ``(images, bad_lanes)`` where
+    ``bad_lanes`` lists the flagged lane indices and every *good* lane's
+    pixels are intact — one corrupt stripe costs one stripe, not the batch
+    (the container's per-slice independence exists for exactly this;
+    repair via api.reencode_slice).
     """
     H, W, C = shape
     S = len(streams)
+    if errors not in ("raise", "report"):
+        raise ValueError(f"errors must be 'raise' or 'report', got {errors!r}")
     if engine == "auto":
         # measured on the axon v5e backend: the fused Pallas kernel decodes
         # ~6x faster than the XLA decision-outer engine (docs/DESIGN.md);
@@ -685,32 +689,37 @@ def decode_lanes(
         else:
             engine = "decision"
     if engine == "pallas":
-        return _decode_lanes_pallas(streams, shape, cfg, primed)
-    # per-lane serialized gathers scale with lane count while while_loop
-    # iterations don't, and a smaller chunk also shortens the max-over-lanes
-    # straggler tail, so modest chunks win (measured best ~256 lanes on the
-    # target backend); all chunks are dispatched before any is synced so the
-    # device queue stays full
-    import os
-    MAX_LANES = int(os.environ.get("LLCT_DECODE_MAX_LANES", "256"))
-    fn = {
-        "decision": _decode_scan,
-        "lockstep": _decode_scan_lockstep,
-        "rowbatch": _decode_scan_rowbatch,
-    }[engine]
-    inflight = []
-    for i in range(0, S, MAX_LANES):
-        chunk = streams[i : i + MAX_LANES]
-        cap = _bucket_cap(max((len(s) for s in chunk), default=0))
-        data = np.zeros((len(chunk), cap), dtype=np.uint8)
-        for s, blob in enumerate(chunk):
-            data[s, : len(blob)] = np.frombuffer(blob, dtype=np.uint8)
-        planes, err = fn(jnp.asarray(data), H, W, C, cfg, primed)
-        inflight.append((i, transform.rct_inverse(planes), err))
-    parts = []
-    for i, imgs, err in inflight:
-        if bool(np.asarray(err).any()):
-            bad = (np.nonzero(np.asarray(err))[0] + i).tolist()
-            raise ValueError(f"corrupt stream in lanes {bad}")
-        parts.append(np.asarray(imgs))
-    return np.concatenate(parts)
+        out, lane_err = _decode_lanes_pallas(streams, shape, cfg, primed)
+        bad = np.nonzero(lane_err)[0].tolist()
+    else:
+        # per-lane serialized gathers scale with lane count while while_loop
+        # iterations don't, and a smaller chunk also shortens the
+        # max-over-lanes straggler tail, so modest chunks win (measured best
+        # ~256 lanes on the target backend); all chunks are dispatched
+        # before any is synced so the device queue stays full
+        import os
+        MAX_LANES = int(os.environ.get("LLCT_DECODE_MAX_LANES", "256"))
+        fn = {
+            "decision": _decode_scan,
+            "lockstep": _decode_scan_lockstep,
+            "rowbatch": _decode_scan_rowbatch,
+        }[engine]
+        inflight = []
+        for i in range(0, S, MAX_LANES):
+            chunk = streams[i : i + MAX_LANES]
+            cap = _bucket_cap(max((len(s) for s in chunk), default=0))
+            data = np.zeros((len(chunk), cap), dtype=np.uint8)
+            for s, blob in enumerate(chunk):
+                data[s, : len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+            planes, err = fn(jnp.asarray(data), H, W, C, cfg, primed)
+            inflight.append((i, transform.rct_inverse(planes), err))
+        parts, bad = [], []
+        for i, imgs, err in inflight:
+            bad.extend((np.nonzero(np.asarray(err))[0] + i).tolist())
+            parts.append(np.asarray(imgs))
+        out = np.concatenate(parts)
+    if errors == "report":
+        return out, bad
+    if bad:
+        raise ValueError(f"corrupt stream in lanes {bad}")
+    return out

@@ -168,6 +168,60 @@ def test_reencode_slice_heals_corrupt_stripe():
     np.testing.assert_array_equal(llcomp_tpu.decompress(healed), img)
 
 
+def test_decompress_nonstrict_isolates_corrupt_slice():
+    """One corrupt stripe costs one stripe: strict=False returns the good
+    slices + a bad-slice report instead of raising away the batch
+    (VERDICT r2 item 7), and reencode_slice heals it back to exact."""
+    from tests.test_native import _malicious_stream
+
+    img = make_photo(32, 16)
+    blob = llcomp_tpu.compress(img, slices=4, primed=False)
+    streams, W, H, C, slice_h, flags = container.unpack_sliced(blob)
+    bad = list(streams)
+    bad[2] = _malicious_stream()  # reliably trips the e>31 guard
+    broken = container.pack_sliced(bad, W, H, C, slice_h, flags=flags)
+
+    # strict (default): the whole decode raises, naming the slice
+    with pytest.raises(ValueError, match="2"):
+        llcomp_tpu.decompress(broken)
+
+    out, bad_slices = llcomp_tpu.decompress(broken, strict=False)
+    assert bad_slices == [2]
+    bounds = container.slice_bounds(H, slice_h)
+    for i, (y0, y1) in enumerate(bounds):
+        if i != 2:
+            np.testing.assert_array_equal(out[y0:y1], img[y0:y1])
+    y0, y1 = bounds[2]
+    healed = api.reencode_slice(broken, 2, img[y0:y1])
+    np.testing.assert_array_equal(llcomp_tpu.decompress(healed), img)
+
+
+def test_decompress_nonstrict_clean_container():
+    img = make_photo(24, 16)
+    blob = llcomp_tpu.compress(img, slices=3)
+    out, bad_slices = llcomp_tpu.decompress(blob, strict=False)
+    assert bad_slices == []
+    np.testing.assert_array_equal(out, img)
+    # single-stream containers report slice 0 on corruption
+    single = llcomp_tpu.compress(img)
+    out, bad_slices = llcomp_tpu.decompress(single, strict=False)
+    assert bad_slices == []
+    np.testing.assert_array_equal(out, img)
+
+
+def test_decode_lanes_report_mode():
+    from tests.test_native import _malicious_stream
+    from llcomp_tpu import decode as jdec, encode as jenc
+
+    lanes = np.stack([make_photo(8, 8, seed=60 + i) for i in range(3)])
+    streams = jenc.encode_lanes(lanes)
+    streams[1] = _malicious_stream()
+    out, bad = jdec.decode_lanes(streams, (8, 8, 3), errors="report")
+    assert bad == [1]
+    np.testing.assert_array_equal(out[0], lanes[0])
+    np.testing.assert_array_equal(out[2], lanes[2])
+
+
 def test_reencode_slice_validates_args():
     img = make_photo(32, 16)
     blob = llcomp_tpu.compress(img, slices=4)

@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""On-chip kernel smoke gate: Pallas encode+decode bit-exactness across the
+reference's input envelope, each geometry in its own subprocess so a kernel
+fault costs (and identifies) one config instead of killing the capture.
+
+Run BEFORE any bench (CLAUDE.md).  Geometries cover the three shapes the
+driver measures (BASELINE.md): 512-wide RGB, 2048-wide RGB, 256-wide RGBA.
+The r02 bench lost two configs + the natural-ratio number to an uncaught
+TPU worker fault at 2048/RGBA (VERDICT r2 item 1) — this gate exists so
+that class of fault is caught here, cheaply, first.
+
+Usage:
+  python tools/chip_smoke.py            # all configs, subprocess-isolated
+  python tools/chip_smoke.py --one H CH # one config, in-process (the
+                                        # subprocess entry; stage markers
+                                        # on stdout identify the fault site)
+Env: SMOKE_TIMEOUT (s/config, default 900 — first compile of a fresh
+geometry costs minutes on this backend), SMOKE_CONFIGS ("512x3,2048x3").
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+CONFIGS = [(512, 3), (2048, 3), (256, 4)]
+
+
+def _one(H: int, CH: int) -> int:
+    """Encode + decode one small batch at the given geometry, in-process.
+
+    Prints stage markers so a worker crash in the parent's capture points
+    at the failing stage.  Uses the same slice-height policy as the bench
+    and api.compress (api.pick_slice_height), 2 images -> enough lanes to
+    exercise the multi-group kernel path at every geometry.
+    """
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import jax
+
+    from llcomp_tpu import api
+    from llcomp_tpu import decode as jdec
+    from llcomp_tpu import encode as jenc
+
+    W = H
+    slice_h = api.pick_slice_height(H, W, CH)
+    while H % slice_h:
+        slice_h -= 1
+    rng = np.random.default_rng(77)
+    n_img = max(2, 1024 * 8 // (H // slice_h))  # >=8 groups when cheap
+    n_img = min(n_img, 16)
+    yy, xx = np.mgrid[0:H, 0:W]
+    imgs = []
+    for i in range(n_img):
+        base = 120 + 70 * np.sin(2 * np.pi * xx / W * (1 + 0.3 * i)) \
+            + 50 * np.cos(2 * np.pi * yy / H * 1.7)
+        im = base[..., None] + np.arange(CH)[None, None, :] * 9.0
+        im = im + rng.integers(-3, 4, size=(H, W, CH))
+        imgs.append(np.clip(im, 0, 255).astype(np.uint8))
+    lanes = np.concatenate(
+        [im.reshape(H // slice_h, slice_h, W, CH) for im in imgs])
+    print(f"SMOKE stage=setup lanes={lanes.shape[0]} slice_h={slice_h} "
+          f"platform={jax.default_backend()}", flush=True)
+
+    on_tpu = jax.default_backend() == "tpu"
+    engine = "pallas" if on_tpu else "xla"
+    dec_engine = "pallas" if on_tpu else "decision"
+
+    t0 = time.time()
+    streams = jenc.encode_lanes(lanes, engine=engine, primed=True)
+    print(f"SMOKE stage=encode ok s={time.time()-t0:.1f} "
+          f"bytes={sum(len(s) for s in streams)}", flush=True)
+
+    t0 = time.time()
+    out = jdec.decode_lanes(streams, (slice_h, W, CH), engine=dec_engine,
+                            primed=True)
+    exact = bool(np.array_equal(out, lanes))
+    print(f"SMOKE stage=decode ok s={time.time()-t0:.1f} exact={exact}",
+          flush=True)
+    return 0 if exact else 3
+
+
+def main() -> int:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--one":
+        return _one(int(sys.argv[2]), int(sys.argv[3]))
+
+    configs = CONFIGS
+    if os.environ.get("SMOKE_CONFIGS"):
+        configs = [tuple(int(v) for v in c.split("x"))
+                   for c in os.environ["SMOKE_CONFIGS"].split(",")]
+    timeout = int(os.environ.get("SMOKE_TIMEOUT", "900"))
+    results = {}
+    ok_all = True
+    for (H, CH) in configs:
+        key = f"{H}x{H}x{CH}"
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--one", str(H), str(CH)],
+                timeout=timeout, capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(
+                    __file__))),
+            )
+            tail = (r.stdout or "").strip().splitlines()
+            stages = [ln for ln in tail if ln.startswith("SMOKE ")]
+            if r.returncode == 0:
+                results[key] = {"ok": True, "s": round(time.time() - t0, 1)}
+            else:
+                err = (r.stderr or "").strip().splitlines()
+                results[key] = {
+                    "ok": False,
+                    "rc": r.returncode,
+                    "last_stage": stages[-1] if stages else None,
+                    "err": err[-1][:200] if err else None,
+                }
+                ok_all = False
+        except subprocess.TimeoutExpired:
+            results[key] = {"ok": False, "err": f"timeout {timeout}s"}
+            ok_all = False
+        print(f"{key}: {json.dumps(results[key])}", flush=True)
+    print(json.dumps({"smoke_ok": ok_all, "configs": results}))
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
