@@ -133,8 +133,19 @@ def main() -> int:
     # the sliced-mode model prior (tables.PRIOR_SUB): what api.compress picks
     # for this photo-like corpus; BENCH_PRIMED=0 reverts to cold restarts
     primed = os.environ.get("BENCH_PRIMED", "1") != "0"
+    # stored-seed mode (container flag bit 1): what corpus.compress_corpus
+    # picks by default for primed content — a pooled 121-bucket table shared
+    # by the batch, ~650 B/image stored (counted in the ratio below);
+    # BENCH_SEEDED=0 reverts to the zero-storage static prior
+    seeded = primed and os.environ.get("BENCH_SEEDED", "1") != "0"
 
     imgs = [make_photo(H, W, c=CH, seed=100 + i) for i in range(n_images)]
+    seed_tab = seed_blob = None
+    if seeded:
+        from llcomp_tpu import seed as seedmod
+
+        seed_tab = seedmod.derive_pooled(imgs[:8])
+        seed_blob = seedmod.pack_blob(seed_tab)
     lanes = np.concatenate(
         [img.reshape(H // slice_h, slice_h, W, CH) for img in imgs]
     )
@@ -153,13 +164,15 @@ def main() -> int:
     if engine == "pallas":
         # warm compile
         t0 = time.time()
-        streams = jenc.encode_lanes(lanes, engine="pallas", primed=primed)
+        streams = jenc.encode_lanes(lanes, engine="pallas", primed=primed,
+                                    seed=seed_tab)
         compile_s = time.time() - t0
         times = []
         for r in range(reps):
             fb = fresh_batch(r)
             t0 = time.time()
-            streams = jenc.encode_lanes(fb, engine="pallas", primed=primed)
+            streams = jenc.encode_lanes(fb, engine="pallas", primed=primed,
+                                        seed=seed_tab)
             times.append(time.time() - t0)
         lanes = fb  # for the round-trip gate below
         enc_single_s = min(times)
@@ -170,18 +183,20 @@ def main() -> int:
         for round_ in range(2):
             fresh = [fresh_batch(100 + round_ * 40 + j) for j in range(nb)]
             t0 = time.time()
-            jenc.encode_lanes_pipelined(fresh, primed=primed)
+            jenc.encode_lanes_pipelined(fresh, primed=primed, seed=seed_tab)
             sustained = max(sustained, nb * mp_total / (time.time() - t0))
         headline = max(sustained, mp_total / enc_single_s)
     else:
         t0 = time.time()
-        streams = jenc.encode_lanes(lanes, engine="xla", primed=primed)
+        streams = jenc.encode_lanes(lanes, engine="xla", primed=primed,
+                                    seed=seed_tab)
         compile_s = time.time() - t0
         times = []
         for r in range(reps):
             fb = fresh_batch(r)
             t0 = time.time()
-            streams = jenc.encode_lanes(fb, engine="xla", primed=primed)
+            streams = jenc.encode_lanes(fb, engine="xla", primed=primed,
+                                        seed=seed_tab)
             times.append(time.time() - t0)
         lanes = fb
         enc_single_s = min(times)
@@ -197,11 +212,14 @@ def main() -> int:
         try:
             device_mps = _encode_device_only(
                 [fresh_batch(300 + r) for r in range(reps)], slice_h, W, CH,
-                primed)
+                primed, seed_tab)
         except Exception:
             pass
 
-    comp_bytes = sum(len(b) for b in streams)
+    # stored-seed tables live in each image's container: count them
+    comp_bytes = sum(len(b) for b in streams) + (
+        n_images * len(seed_blob) if seed_blob else 0
+    )
     result = {
         "metric": (f"encode_mps_{H}" if CH == 3
                    else f"encode_mps_{H}x{CH}"),
@@ -220,6 +238,7 @@ def main() -> int:
         "slice_h": slice_h,
         "engine": engine,
         "primed": primed,
+        "seeded": seeded,
         "compile_s": round(compile_s, 1),
         "platform": jax.devices()[0].platform,
     }
@@ -232,12 +251,17 @@ def main() -> int:
 
         nimgs = np.stack([make_photo(H, W, c=CH, seed=7000 + i)
                           for i in range(4)])
-        t0 = time.time()
-        nstreams = host.encode_images(nimgs)
-        n_enc = time.time() - t0
-        t0 = time.time()
-        nout = host.decode_streams(nstreams, (H, W, CH))
-        n_dec = time.time() - t0
+        # best-of-3: the host CPU is shared, and a single sample made the
+        # native trend untrustworthy across rounds (r01 21.6 -> r02 8.8
+        # with no native code change)
+        n_enc = n_dec = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            nstreams = host.encode_images(nimgs)
+            n_enc = min(n_enc, time.time() - t0)
+            t0 = time.time()
+            nout = host.decode_streams(nstreams, (H, W, CH))
+            n_dec = min(n_dec, time.time() - t0)
         if np.array_equal(nout, nimgs):
             result["native_encode_mps"] = round(4 * H * W / 1e6 / n_enc, 3)
             result["native_decode_mps"] = round(4 * H * W / 1e6 / n_dec, 3)
@@ -259,7 +283,8 @@ def main() -> int:
         try:
             t0 = time.time()
             out_lanes = jdec.decode_lanes(streams, (slice_h, W, CH),
-                                          engine=dec_engine, primed=primed)
+                                          engine=dec_engine, primed=primed,
+                                          seed=seed_tab)
             dec_total = time.time() - t0
             ok = np.array_equal(out_lanes, lanes)
             # timed pass: all fresh batches in ONE decode_lanes call — the
@@ -267,17 +292,26 @@ def main() -> int:
             # so later kernels overlap earlier image downloads (this dev
             # tunnel moves decoded pixels at ~15 MB/s; overlap is the only
             # way e2e approaches kernel throughput)
-            fbds = [fresh_batch(900 + r) for r in range(reps)]
-            stds = (jenc.encode_lanes_pipelined(fbds, primed=primed)
-                    if engine == "pallas"
-                    else [jenc.encode_lanes(f, engine=engine, primed=primed)
-                          for f in fbds])
-            allstreams = [s for st in stds for s in st]
-            t0 = time.time()
-            outd = jdec.decode_lanes(allstreams, (slice_h, W, CH),
-                                     engine=dec_engine, primed=primed)
-            dec_warm = (time.time() - t0) / reps
-            ok = ok and np.array_equal(outd, np.concatenate(fbds))
+            # best of two rounds, like the encode sustained number:
+            # run-to-run tunnel variance is ~20-50% and a single sample
+            # under-reported decode by 2.4x in the r02 driver capture
+            dec_warm = float("inf")
+            for round_ in range(2):
+                fbds = [fresh_batch(900 + round_ * 20 + r)
+                        for r in range(reps)]
+                stds = (jenc.encode_lanes_pipelined(
+                            fbds, primed=primed, seed=seed_tab)
+                        if engine == "pallas"
+                        else [jenc.encode_lanes(f, engine=engine,
+                                                primed=primed, seed=seed_tab)
+                              for f in fbds])
+                allstreams = [s for st in stds for s in st]
+                t0 = time.time()
+                outd = jdec.decode_lanes(allstreams, (slice_h, W, CH),
+                                         engine=dec_engine, primed=primed,
+                                         seed=seed_tab)
+                dec_warm = min(dec_warm, (time.time() - t0) / reps)
+                ok = ok and np.array_equal(outd, np.concatenate(fbds))
             dec_mps = mp_total / dec_warm
             result["decode_mps_e2e"] = round(dec_mps, 3)
             result["decode_engine"] = dec_engine
@@ -296,8 +330,9 @@ def main() -> int:
                 try:
                     fd = [fresh_batch(700 + r) for r in range(reps)]
                     sd = [s for st in jenc.encode_lanes_pipelined(
-                        fd, primed=primed) for s in st]
-                    dd = _decode_device_only(sd, (slice_h, W, CH), primed)
+                        fd, primed=primed, seed=seed_tab) for s in st]
+                    dd = _decode_device_only(sd, (slice_h, W, CH), primed,
+                                             seed_tab)
                     result["decode_mps_device"] = round(
                         reps * mp_total / dd, 3)
                 except Exception:
@@ -315,14 +350,15 @@ def main() -> int:
 
     # -- other BASELINE.md configs (encode + decode, smaller samples) -----
     # BENCH_EXTRA=0 skips; each geometry pays its own one-time compile.
+    # Each config runs in its OWN SUBPROCESS: a TPU kernel fault kills the
+    # worker for the whole process, and in round 2 one fault at 2048-wide
+    # cascaded into every later measurement (VERDICT r2 item 6).  Isolation
+    # caps the blast radius at one config.
     if os.environ.get("BENCH_EXTRA", "1") != "0" and CH == 3 and H == 512:
         extras = {}
         for (eh, ec, n_img) in ((2048, 3, 2), (256, 4, 16)):
-            try:
-                extras[f"{eh}x{eh}x{ec}"] = _run_config(eh, ec, n_img,
-                                                        slice_h, primed)
-            except Exception as e:
-                extras[f"{eh}x{eh}x{ec}"] = {"error": str(e)[:120]}
+            extras[f"{eh}x{eh}x{ec}"] = _run_config_subprocess(
+                eh, ec, n_img, slice_h, primed)
         result["extra_configs"] = extras
 
         # ratio on a 1/f-spectrum "natural" corpus (the sinusoid corpus
@@ -333,9 +369,18 @@ def main() -> int:
             nlanes = np.concatenate(
                 [im.reshape(H // slice_h, slice_h, W, CH) for im in nat]
             )
-            nstr = jenc.encode_lanes(nlanes, engine=engine, primed=True)
+            nseed_tab = nseed_blob = None
+            if seeded:
+                from llcomp_tpu import seed as seedmod
+
+                nseed_tab = seedmod.derive_pooled(nat)
+                nseed_blob = seedmod.pack_blob(nseed_tab)
+            nstr = jenc.encode_lanes(nlanes, engine=engine, primed=True,
+                                     seed=nseed_tab)
             result["compression_ratio_natural"] = round(
-                sum(im.nbytes for im in nat) / sum(len(s) for s in nstr), 3
+                sum(im.nbytes for im in nat)
+                / (sum(len(s) for s in nstr)
+                   + (len(nat) * len(nseed_blob) if nseed_blob else 0)), 3
             )
             from llcomp_tpu import host
 
@@ -354,7 +399,8 @@ def main() -> int:
     return 0
 
 
-def _encode_device_only(batches, slice_h, W, CH, primed) -> float:
+def _encode_device_only(batches, slice_h, W, CH, primed,
+                        seed_tab=None) -> float:
     """Chain + byte expansion MP/s with inputs already device-resident.
 
     The per-batch count and length syncs stay inside the timed region (they
@@ -374,7 +420,7 @@ def _encode_device_only(batches, slice_h, W, CH, primed) -> float:
         hg, dg, counts = jenc._stage_precompute_g(u, slice_h, W, CH, REV2)
         res.append(jenc._launch_stage_rest(
             (b, hg, dg, counts, REV2), jenc._outcap(n_sym),
-            speculate=False, primed=primed))
+            speculate=False, primed=primed, seed=seed_tab))
     done = [jenc._collect_bytes(kp, kf, ln, jenc._outcap(n_sym))
             for kp, kf, ln, _ in res]
     for b2, _ in done:
@@ -382,7 +428,7 @@ def _encode_device_only(batches, slice_h, W, CH, primed) -> float:
     return mp / (time.time() - t0)
 
 
-def _decode_device_only(streams, shape, primed) -> float:
+def _decode_device_only(streams, shape, primed, seed_tab=None) -> float:
     """Seconds to run the Pallas decode kernels to completion with streams
     already resident and no pixel download (mirrors _encode_device_only)."""
     from llcomp_tpu.pallas import decode_kernel as dk
@@ -401,11 +447,45 @@ def _decode_device_only(streams, shape, primed) -> float:
     for u in ups:
         u.block_until_ready()
     t0 = time.time()
-    inflight = [dk.decode_groups_images(u, H, W, C, REV2, primed)
+    inflight = [dk.decode_groups_images(u, H, W, C, REV2, primed,
+                                        False, seed_tab)
                 for u in ups]
     for imgs, err in inflight:
         imgs.block_until_ready()
     return time.time() - t0
+
+
+def _run_config_subprocess(H: int, CH: int, n_images: int, slice_h: int,
+                           primed: bool) -> dict:
+    """Run one extra-geometry measurement in an isolated child process.
+
+    The child re-execs this script with ``--config``; its last stdout line
+    is the JSON result.  A kernel fault, OOM or hang in the child costs
+    exactly this config — the parent's TPU client and every later
+    measurement survive.
+    """
+    import subprocess
+
+    timeout = int(os.environ.get("BENCH_CONFIG_TIMEOUT", "1800"))
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--config",
+             str(H), str(CH), str(n_images), str(slice_h),
+             "1" if primed else "0"],
+            timeout=timeout, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in reversed((r.stdout or "").strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        tail = (r.stderr or "").strip().splitlines()
+        return {"error": (tail[-1][:160] if tail
+                          else f"no output, rc={r.returncode}")}
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {timeout}s"}
+    except Exception as e:  # pragma: no cover - harness safety net
+        return {"error": str(e)[:160]}
 
 
 def _run_config(H: int, CH: int, n_images: int, slice_h: int, primed: bool):
@@ -478,4 +558,8 @@ def _run_config(H: int, CH: int, n_images: int, slice_h: int, primed: bool):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 7 and sys.argv[1] == "--config":
+        _h, _c, _n, _sh = (int(v) for v in sys.argv[2:6])
+        print(json.dumps(_run_config(_h, _c, _n, _sh, sys.argv[6] == "1")))
+        sys.exit(0)
     sys.exit(main())

@@ -79,7 +79,7 @@ def _cmd_decompress(args) -> int:
 def _cmd_info(args) -> int:
     data = pathlib.Path(args.input).read_bytes()
     if container.is_sliced(data):
-        streams, w, h, c, slice_h, flags = container.unpack_sliced(data)
+        streams, w, h, c, slice_h, flags, _seed = container.unpack_sliced(data)
         primed = " primed" if flags & container.FLAG_PRIMED else ""
         print(f"sliced container v{container.CONTAINER_VERSION} (rev 2{primed})")
         print(f"  {w}x{h}x{c}, {len(streams)} slices of {slice_h} rows")

@@ -17,12 +17,18 @@ Two on-disk formats:
       4   1   container version (1)
       5   1   codec revision (2)
       6   1   channels
-      7   1   flags (bit 0: model primed with tables.PRIOR_TAB[h % 121])
+      7   1   flags (bit 0: model primed with tables.PRIOR_TAB[h % 121];
+                     bit 1: per-image stored seed — a seed section follows
+                     the fixed head and context row h starts at
+                     seed[h % 121] instead; see ``seed``)
       8   4   width  u32
       12  4   height u32
       16  4   slice height u32 (last slice may be shorter)
       20  4   slice count u32
-      24  4*n per-slice payload lengths u32
+      [flags bit 1 only:]
+      24  2   seed blob length u16
+      26  ..  zlib seed blob (121x8 u8 start states; ~650 B)
+      ..  4*n per-slice payload lengths u32
       ..      concatenated slice payloads, in image order
 
   Slice payloads are gathered in file order, so a sliced file is a pure
@@ -39,6 +45,7 @@ from .core.config import REV2, CodecConfig
 MAGIC_SLICED = b"LLCT"
 CONTAINER_VERSION = 1
 FLAG_PRIMED = 1  # context row h starts at tables.PRIOR_TAB[h % 121]
+FLAG_SEEDED = 2  # context row h starts at the stored seed[h % 121]
 
 
 def pack_single(stream: bytes, width: int, height: int, channels: int,
@@ -61,17 +68,24 @@ def unpack_single(data: bytes, cfg: CodecConfig = REV2):
 
 def pack_sliced(streams: list[bytes], width: int, height: int, channels: int,
                 slice_h: int, cfg: CodecConfig = REV2,
-                flags: int = 0) -> bytes:
+                flags: int = 0, seed_blob: bytes | None = None) -> bytes:
+    if bool(flags & FLAG_SEEDED) != (seed_blob is not None):
+        raise ValueError("seed_blob must be given iff flags bit 1 is set")
     head = MAGIC_SLICED + struct.pack(
         "<BBBBIIII", CONTAINER_VERSION, cfg.revision, channels, flags,
         width, height, slice_h, len(streams),
     )
+    if seed_blob is not None:
+        head += struct.pack("<H", len(seed_blob)) + seed_blob
     index = struct.pack(f"<{len(streams)}I", *(len(s) for s in streams))
     return head + index + b"".join(streams)
 
 
 def unpack_sliced(data: bytes, cfg: CodecConfig = REV2):
-    """-> (streams, width, height, channels, slice_h, flags)."""
+    """-> (streams, width, height, channels, slice_h, flags, seed_blob).
+
+    ``seed_blob`` is None unless flags bit 1 (FLAG_SEEDED) is set.
+    """
     if data[:4] != MAGIC_SLICED:
         raise ValueError("Invalid magic number")
     ver, rev, channels, flags, width, height, slice_h, n = struct.unpack_from(
@@ -81,16 +95,22 @@ def unpack_sliced(data: bytes, cfg: CodecConfig = REV2):
         raise ValueError(f"unsupported container version {ver}")
     if rev != cfg.revision:
         raise ValueError(f"unsupported codec revision {rev}")
-    if flags & ~FLAG_PRIMED:
+    if flags & ~(FLAG_PRIMED | FLAG_SEEDED):
         raise ValueError(f"unsupported container flags {flags:#x}")
     off = 24
+    seed_blob = None
+    if flags & FLAG_SEEDED:
+        (blen,) = struct.unpack_from("<H", data, off)
+        off += 2
+        seed_blob = data[off : off + blen]
+        off += blen
     lengths = struct.unpack_from(f"<{n}I", data, off)
     off += 4 * n
     streams = []
     for ln in lengths:
         streams.append(data[off : off + ln])
         off += ln
-    return streams, width, height, channels, slice_h, flags
+    return streams, width, height, channels, slice_h, flags, seed_blob
 
 
 def slice_bounds(height: int, slice_h: int) -> list[tuple[int, int]]:

@@ -145,6 +145,31 @@ def prior_full(num_states: int, substates: int = 8) -> np.ndarray:
     ).reshape(-1)
 
 
+def prior_full_from(tab: np.ndarray, num_states: int,
+                    substates: int = 8) -> np.ndarray:
+    """Flat per-cidx initial-state map from an arbitrary [B, substates]
+    bucket table (stored-seed containers, flag bit 1): context row h
+    starts at tab[h % B], exactly like prior_full with PRIOR_TAB."""
+    tab = np.asarray(tab, dtype=np.uint8)
+    nh = num_states // substates
+    return np.ascontiguousarray(
+        tab[np.arange(nh) % tab.shape[0]]
+    ).reshape(-1)
+
+
+def pack121(tab: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """[121, 8] u8 bucket table -> (lo[128], hi[128]) i32, 4 substates per
+    word, zero-padded to 128 buckets — the kernel operand layout of
+    PRIOR_LO121/PRIOR_HI121 (lane-axis dynamic_gather needs 128 lanes)."""
+    t = np.asarray(tab, dtype=np.int32)
+    assert t.shape == (PRIOR_BUCKETS, 8), t.shape
+    lo = np.zeros(128, np.int32)
+    hi = np.zeros(128, np.int32)
+    lo[:PRIOR_BUCKETS] = t[:, 0] | t[:, 1] << 8 | t[:, 2] << 16 | t[:, 3] << 24
+    hi[:PRIOR_BUCKETS] = t[:, 4] | t[:, 5] << 8 | t[:, 6] << 16 | t[:, 7] << 24
+    return lo, hi
+
+
 def quant5(x) -> np.ndarray:
     """quant5 with the reference's clamp-then-wrap indexing (`llcomp.hpp:339-341`)."""
     return QUANT5[np.clip(x, -128, 127) & 0xFF]

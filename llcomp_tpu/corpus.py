@@ -77,6 +77,7 @@ def compress_corpus(
     mesh=None,
     primed: bool | None = None,
     backend: str = "jax",
+    seeded: bool | None = None,
 ) -> tuple[list[bytes], CorpusStats]:
     """Compress many images -> per-image sliced containers + stats.
 
@@ -84,9 +85,13 @@ def compress_corpus(
     at ``max_lanes_per_batch`` lanes per dispatch).  ``primed`` applies the
     sliced-mode model prior to every container; None decides once for the
     whole corpus (majority vote of api._pick_primed over a sample) so mixed
-    batches stay lockstep.  ``backend``: 'jax', 'native' (threaded C++
-    runtime), or 'auto' (jax on TPU hosts, native elsewhere) — identical
-    bytes either way; ``mesh`` forces the sharded jax path.
+    batches stay lockstep.  ``seeded`` stores a POOLED 121-bucket seed table
+    (flag bit 1) derived from a corpus sample in every container — batches
+    stay single-table and mixed-image, and each container remains
+    independently decodable; None = auto (seeded iff primed, like
+    api.compress).  ``backend``: 'jax', 'native' (threaded C++ runtime), or
+    'auto' (jax on TPU hosts, native elsewhere) — identical bytes either
+    way; ``mesh`` forces the sharded jax path.
     """
     from . import encode as jenc
 
@@ -94,6 +99,18 @@ def compress_corpus(
     if primed is None:
         votes = [api._pick_primed(im, cfg) for im in images[:8]]
         primed = sum(votes) * 2 > len(votes)
+    if seeded is None:
+        # the stored table (~650 B/container) must amortize: same raw-size
+        # threshold as api.compress's per-image auto policy
+        mean_raw = sum(im.nbytes for im in images) / max(len(images), 1)
+        seeded = primed and mesh is None and mean_raw >= 120_000
+    seed_tab = seed_blob = None
+    if seeded:
+        from . import seed as seedmod
+
+        seed_tab = seedmod.derive_pooled(images[:16], cfg)
+        seed_blob = seedmod.pack_blob(seed_tab)
+        primed = True
     stats = CorpusStats(images=len(images))
     shapes = [im.shape for im in images]
     groups = _stripe_plan(shapes, slice_h)
@@ -126,7 +143,8 @@ def compress_corpus(
     elif api._resolve_backend(backend) == "native":
         from . import host
 
-        all_streams = [host.encode_images(lanes, primed=primed)
+        all_streams = [host.encode_images(lanes, primed=primed,
+                                          seed=seed_tab)
                        for _, lanes in chunks]
     else:
         import jax
@@ -141,14 +159,15 @@ def compress_corpus(
         all_streams: list = [None] * len(chunks)
         if jax.default_backend() == "tpu" and len(pipe) > 1:
             piped = jenc.encode_lanes_pipelined(
-                [chunks[k][1] for k in pipe], cfg, primed=primed
+                [chunks[k][1] for k in pipe], cfg, primed=primed,
+                seed=seed_tab,
             )
             for k, streams in zip(pipe, piped):
                 all_streams[k] = streams
         for k in range(len(chunks)):
             if all_streams[k] is None:
                 all_streams[k] = jenc.encode_lanes(
-                    chunks[k][1], cfg, primed=primed
+                    chunks[k][1], cfg, primed=primed, seed=seed_tab
                 )
     for (chunk, _), streams in zip(chunks, all_streams):
         for (i, y0, y1), blob in zip(chunk, streams):
@@ -160,7 +179,9 @@ def compress_corpus(
         H, W, C = im.shape
         blob = container.pack_sliced(
             per_image[idx], W, H, C, slice_h, cfg,
-            flags=container.FLAG_PRIMED if primed else 0,
+            flags=(container.FLAG_SEEDED if seeded
+                   else (container.FLAG_PRIMED if primed else 0)),
+            seed_blob=seed_blob,
         )
         blobs.append(blob)
         stats.pixels += H * W
@@ -179,22 +200,30 @@ def decompress_corpus(
     native = mesh is None and api._resolve_backend(backend) == "native"
 
     metas = [container.unpack_sliced(b, cfg) for b in blobs]
-    groups: dict[tuple[int, int, int, bool], list[tuple[int, int, bytes]]] = {}
-    for idx, (streams, W, H, C, slice_h, flags) in enumerate(metas):
+    # group key includes the seed blob so every batch is single-table
+    # (containers encoded as one corpus share the pooled table and batch
+    # together; foreign containers with other seeds form their own groups)
+    groups: dict[tuple, list[tuple[int, int, bytes]]] = {}
+    for idx, (streams, W, H, C, slice_h, flags, seed_blob) in enumerate(metas):
         primed = bool(flags & container.FLAG_PRIMED)
         for j, (y0, y1) in enumerate(container.slice_bounds(H, slice_h)):
-            groups.setdefault((y1 - y0, W, C, primed), []).append(
+            groups.setdefault((y1 - y0, W, C, primed, seed_blob), []).append(
                 (idx, j, streams[j])
             )
 
     outs = [
         np.empty((H, W, C), dtype=np.uint8)
-        for (_, W, H, C, _, _) in metas
+        for (_, W, H, C, _, _, _) in metas
     ]
-    for (rows, W, C, primed), members in groups.items():
+    for (rows, W, C, primed, seed_blob), members in groups.items():
+        seed_tab = None
+        if seed_blob is not None:
+            from . import seed as seedmod
+
+            seed_tab = seedmod.unpack_blob(seed_blob)
         for start in range(0, len(members), max_lanes_per_batch):
             chunk = members[start : start + max_lanes_per_batch]
-            if mesh is not None:
+            if mesh is not None and seed_tab is None:
                 from . import parallel
 
                 lanes = parallel.decode_lanes_sharded(
@@ -204,10 +233,11 @@ def decompress_corpus(
                 from . import host
 
                 lanes = host.decode_streams([m[2] for m in chunk],
-                                            (rows, W, C), primed=primed)
+                                            (rows, W, C), primed=primed,
+                                            seed=seed_tab)
             else:
                 lanes = jdec.decode_lanes([m[2] for m in chunk], (rows, W, C),
-                                          cfg, primed=primed)
+                                          cfg, primed=primed, seed=seed_tab)
             for (idx, j, _), lane in zip(chunk, lanes):
                 y0 = j * metas[idx][4]
                 outs[idx][y0 : y0 + rows] = lane

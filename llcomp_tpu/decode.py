@@ -46,10 +46,17 @@ from .core.config import REV2, CodecConfig
 _ZF, _EXP, _MANT, _SIGN, _DONE = 0, 1, 2, 3, 4
 
 
-def _init_states(S: int, cfg: CodecConfig, primed: bool, pad: int):
-    """Per-lane model init: zeros (reference semantics) or the sliced-mode
-    hash-bucketed prior (tables.PRIOR_TAB, container flag bit 0); ``pad``
+def _init_states(S: int, cfg: CodecConfig, primed: bool, pad: int,
+                 rstmap=None):
+    """Per-lane model init: zeros (reference semantics), the sliced-mode
+    hash-bucketed prior (tables.PRIOR_TAB, container flag bit 0), or a
+    stored-seed reset map (flag bit 1, traced [num_states] u8); ``pad``
     trash slots per lane stay zero either way."""
+    if rstmap is not None:
+        row = jnp.concatenate(
+            [jnp.asarray(rstmap, jnp.uint8), jnp.zeros((pad,), jnp.uint8)]
+        )
+        return jnp.tile(row, S)
     if not primed:
         return jnp.zeros((S * (cfg.num_states + pad),), jnp.uint8)
     row = np.concatenate([
@@ -83,7 +90,8 @@ def _quant_flat(table, x):
 
 
 def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int,
-                 cfg: CodecConfig = REV2, primed: bool = False):
+                 cfg: CodecConfig = REV2, primed: bool = False,
+                 rstmap=None):
     """data [S, cap] u8 (zero-padded) -> (planes [S, H, W, C] i32, err [S] bool)."""
     S, cap = data.shape
     NS = cfg.num_states
@@ -227,7 +235,7 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int,
 
     low0 = (d32[:, 0] << 8) | d32[:, 1]
     init = (
-        _init_states(S, cfg, primed, 1),              # states
+        _init_states(S, cfg, primed, 1, rstmap),      # states
         jnp.zeros((S * n_sym,), jnp.int32),           # out
         low0,                                         # low
         jnp.full((S,), 0xFF00, jnp.int32),            # range
@@ -256,7 +264,7 @@ def _decode_impl(data: jnp.ndarray, H: int, W: int, C: int,
 
 def _decode_impl_rowbatch(
     data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = REV2,
-    primed: bool = False,
+    primed: bool = False, rstmap=None,
 ):
     """Symbol-synchronous decode with per-symbol row batching.
 
@@ -408,7 +416,7 @@ def _decode_impl_rowbatch(
         return (states, lines, low, rng, pos, err), recon
 
     carry0 = (
-        _init_states(S, cfg, primed, 8),
+        _init_states(S, cfg, primed, 8, rstmap),
         jnp.zeros((S, 3, stride), jnp.int32),
         low0,
         jnp.full((S,), 0xFF00, jnp.int32),
@@ -462,7 +470,7 @@ def _line_at(lines, row, off):
 
 def _decode_impl_lockstep(
     data: jnp.ndarray, H: int, W: int, C: int, cfg: CodecConfig = REV2,
-    primed: bool = False,
+    primed: bool = False, rstmap=None,
 ):
     """data [S, cap] u8 (zero-padded) -> (planes [S, H, W, C] i32, err [S] bool)."""
     S, cap = data.shape
@@ -585,7 +593,7 @@ def _decode_impl_lockstep(
         return (states, lines, low, rng, pos, err), recon
 
     carry0 = (
-        _init_states(S, cfg, primed, 1),
+        _init_states(S, cfg, primed, 1, rstmap),
         jnp.zeros((S, 3, stride), jnp.int32),
         low0,
         jnp.full((S,), 0xFF00, jnp.int32),
@@ -616,7 +624,7 @@ def _bucket_cap(n: int, quantum: int = 4096) -> int:
 
 def _decode_lanes_pallas(
     streams: list[bytes], shape: tuple[int, int, int], cfg: CodecConfig,
-    primed: bool = False,
+    primed: bool = False, seed=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     from .pallas import decode_kernel as dk
 
@@ -624,29 +632,38 @@ def _decode_lanes_pallas(
     S = len(streams)
     G = -(-S // dk.LANES)
     cap = _bucket_cap(max((len(s) for s in streams), default=0))
-    data = np.zeros((G, cap, dk.LANES), dtype=np.uint8)
-    for s, blob in enumerate(streams):
-        data[s // dk.LANES, : len(blob), s % dk.LANES] = np.frombuffer(
-            blob, dtype=np.uint8
-        )
-    # one pallas call per superblock of <= 8 groups (the kernel packs the
-    # groups into vreg sublanes — see decode_kernel._pick_nsub), all
-    # dispatched before any sync so later kernels overlap earlier
-    # superblocks' u8 image downloads
+    # equal-shaped superblocks (zero-pad the tail) so every pallas call
+    # shares ONE compiled kernel variant — a ragged tail block used to
+    # compile a second variant inside the timed region
     step = dk._pick_nsub(G, cap, W * C)
-    inflight = [
-        profiling.timed(
+    n_sb = -(-G // step)
+    blocks = []
+    for b in range(n_sb):
+        blk = np.zeros((step, cap, dk.LANES), dtype=np.uint8)
+        for s in range(b * step * dk.LANES,
+                       min((b + 1) * step * dk.LANES, S)):
+            blob = streams[s]
+            g, l = divmod(s - b * step * dk.LANES, dk.LANES)
+            blk[g, : len(blob), l] = np.frombuffer(blob, dtype=np.uint8)
+        blocks.append(blk)
+    # ship every superblock to the device FIRST (transfers run async and
+    # overlap the kernel dispatches below), then one pallas call per
+    # superblock of <= 8 groups (the kernel packs the groups into vreg
+    # sublanes — see decode_kernel._pick_nsub).  Each superblock's image
+    # download starts right after ITS dispatch: device->host transfers
+    # are pull-based on this backend, and an early ask lets superblock
+    # b's pixels stream back while b+1..n still compute.
+    ups = [profiling.timed("decode/upload", jax.device_put, blk)
+           for blk in blocks]
+    inflight = []
+    for u in ups:
+        imgs, err = profiling.timed(
             "decode/pallas_kernel", dk.decode_groups_images,
-            jnp.asarray(data[g : g + step]), H, W, C, cfg, primed
+            u, H, W, C, cfg, primed, False, seed
         )
-        for g in range(0, G, step)
-    ]
-    # device->host transfers are pull-based: start every superblock's
-    # download eagerly so it overlaps later superblocks' kernels (the
-    # dev-tunnel link otherwise serializes behind the last kernel)
-    for imgs, err in inflight:
         imgs.copy_to_host_async()
         err.copy_to_host_async()
+        inflight.append((imgs, err))
     parts, lane_err = [], []
     for imgs, err in inflight:
         parts.append(profiling.timed("decode/download", np.asarray, imgs))
@@ -658,6 +675,7 @@ def _decode_lanes_pallas(
 def decode_lanes(
     streams: list[bytes], shape: tuple[int, int, int], cfg: CodecConfig = REV2,
     engine: str = "auto", primed: bool = False, errors: str = "raise",
+    seed=None,
 ) -> np.ndarray:
     """Decode equal-geometry headerless streams -> images [S, H, W, C] u8.
 
@@ -668,6 +686,8 @@ def decode_lanes(
     primed: start context row h at the hash-bucketed prior
     tables.PRIOR_TAB[h % 121] instead of zeros (sliced containers with
     flag bit 0; see tools/derive_prior.py).
+    seed: optional [121, 8] u8 stored-seed bucket table (flag bit 1)
+    replacing the static prior values; one table per call.
     errors: 'raise' (default) raises ValueError if any lane's stream is
     corrupt; 'report' instead returns ``(images, bad_lanes)`` where
     ``bad_lanes`` lists the flagged lane indices and every *good* lane's
@@ -688,8 +708,18 @@ def decode_lanes(
             engine = "pallas"
         else:
             engine = "decision"
+    if engine == "pallas" and streams:
+        # ultra-wide stripes whose line ring exceeds the measured VMEM
+        # budget cannot take the fused kernel even one group at a time;
+        # downgrade like encode_lanes does for over-budget stripes
+        from .pallas import decode_kernel as dk
+
+        if not dk.fits_pallas_decode(_bucket_cap(max(len(s) for s in streams)),
+                                     W * C):
+            engine = "decision"
     if engine == "pallas":
-        out, lane_err = _decode_lanes_pallas(streams, shape, cfg, primed)
+        out, lane_err = _decode_lanes_pallas(streams, shape, cfg, primed,
+                                             seed)
         bad = np.nonzero(lane_err)[0].tolist()
     else:
         # per-lane serialized gathers scale with lane count while while_loop
@@ -704,6 +734,9 @@ def decode_lanes(
             "lockstep": _decode_scan_lockstep,
             "rowbatch": _decode_scan_rowbatch,
         }[engine]
+        rstmap = (jnp.asarray(tables.prior_full_from(
+            seed, cfg.num_states, cfg.substates))
+            if seed is not None else None)
         inflight = []
         for i in range(0, S, MAX_LANES):
             chunk = streams[i : i + MAX_LANES]
@@ -711,7 +744,8 @@ def decode_lanes(
             data = np.zeros((len(chunk), cap), dtype=np.uint8)
             for s, blob in enumerate(chunk):
                 data[s, : len(blob)] = np.frombuffer(blob, dtype=np.uint8)
-            planes, err = fn(jnp.asarray(data), H, W, C, cfg, primed)
+            planes, err = fn(jnp.asarray(data), H, W, C, cfg, primed,
+                             rstmap)
             inflight.append((i, transform.rct_inverse(planes), err))
         parts, bad = [], []
         for i, imgs, err in inflight:

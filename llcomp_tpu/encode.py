@@ -78,7 +78,7 @@ def _compact_decisions(imgs: jnp.ndarray, cap: int, cfg: CodecConfig):
 
 
 def _probability_prepass(compact: jnp.ndarray, cfg: CodecConfig,
-                         primed: bool = False):
+                         primed: bool = False, rstmap=None):
     """Per-decision coding probabilities without materializing the model.
 
     For each lane: stable-sort decisions by context index (padding sorts
@@ -101,7 +101,9 @@ def _probability_prepass(compact: jnp.ndarray, cfg: CodecConfig,
         [jnp.full((S, 1), -2, jnp.int32), skey[:, :-1]], axis=1
     )
     seg_start = skey != prev
-    if primed:
+    if rstmap is not None:  # stored-seed reset map (container flag bit 1)
+        rst = rstmap[jnp.clip(skey, 0, cfg.num_states - 1)]
+    elif primed:
         rst = jnp.asarray(tables.prior_full(cfg.num_states, cfg.substates))[
             jnp.clip(skey, 0, cfg.num_states - 1)
         ]
@@ -130,16 +132,17 @@ def _probability_prepass(compact: jnp.ndarray, cfg: CodecConfig,
 
 
 def _pipeline_impl(imgs: jnp.ndarray, cap: int, cfg: CodecConfig = REV2,
-                   primed: bool = False):
+                   primed: bool = False, rstmap=None):
     """Full model-free encode; ``cap`` = static scan length (bucketed).
 
     Pure function (unjitted) so ``parallel`` can wrap it in shard_map with
     per-device lane blocks; ``_pipeline`` below is the jitted single-device
-    entry point.
+    entry point.  ``rstmap`` (optional [num_states] u8) overrides the
+    context-reset states (stored-seed containers, flag bit 1).
     """
     S = imgs.shape[0]
     compact = _compact_decisions(imgs, cap, cfg)
-    probs = _probability_prepass(compact, cfg, primed)
+    probs = _probability_prepass(compact, cfg, primed, rstmap)
 
     def step(cod, xs):
         p, prob = xs
@@ -529,17 +532,17 @@ def _launch_stage_counts(imgs: np.ndarray, cfg: CodecConfig = REV2):
 
 def _pipeline_pallas_launch(imgs: np.ndarray, outcap: int,
                             cfg: CodecConfig = REV2, speculate: bool = True,
-                            primed: bool = False):
+                            primed: bool = False, seed=None):
     """Launch the device chain; returns (bytes, lens, check) where ``check()``
     returns True iff the speculated buckets covered this batch (always True
     when not speculating)."""
     return _launch_stage_rest(
-        _launch_stage_counts(imgs, cfg), outcap, speculate, primed
+        _launch_stage_counts(imgs, cfg), outcap, speculate, primed, seed
     )
 
 
 def _launch_stage_rest(ctx, outcap: int, speculate: bool = True,
-                       primed: bool = False):
+                       primed: bool = False, seed=None):
     from .pallas import encode_kernels as pk
 
     imgs, hash_g, diff_g, (total_max, sym_max, quad_max), cfg = ctx
@@ -548,10 +551,10 @@ def _launch_stage_rest(ctx, outcap: int, speculate: bool = True,
     geom = (H, W, C, imgs.shape[0])
 
     # the stream-granular walk variant has no substate information at reset
-    # time, so primed encodes always take the symbol-granular chain
+    # time, so primed/seeded encodes always take the symbol-granular chain
     symbol_variant = (
         os.environ.get("LLCT_ENCODE_VARIANT", "symbol") == "symbol"
-    ) or primed
+    ) or primed or seed is not None
     spec = _spec_buckets.get(geom) if speculate else None
     if spec is None:
         sm = int(sym_max)
@@ -579,7 +582,7 @@ def _launch_stage_rest(ctx, outcap: int, speculate: bool = True,
             "encode/sym_sort", _stage_sym_sort, hash_g, diff_g, n_sym
         )
         kplo, kphi = profiling.timed("encode/walk", pk.walk_symbols, xs_sym,
-                                     K, primed)
+                                     K, primed or seed is not None, seed)
         qlo, qhi = profiling.timed(
             "encode/compact_sort", _stage_compact, kplo, kphi, origsym, K,
             min(T, Tq_req * 4) // 4
@@ -639,7 +642,8 @@ def _collect_bytes(kp_g, kp_fin, lens, outcap: int):
 
 
 def _pipeline_pallas_bytes(imgs: np.ndarray, outcap: int,
-                           cfg: CodecConfig = REV2, primed: bool = False):
+                           cfg: CodecConfig = REV2, primed: bool = False,
+                           seed=None):
     """Pallas encode to per-lane byte buffers on device.
 
     Slot records (GBs for big batches) never leave HBM; only the compacted
@@ -647,7 +651,7 @@ def _pipeline_pallas_bytes(imgs: np.ndarray, outcap: int,
     (bytes [G, cap2, 8, 128] u8 device buffer, lens np [S_padded]).
     """
     kp_g, kp_fin, lens, check = _pipeline_pallas_launch(
-        imgs, outcap, cfg, speculate=False, primed=primed
+        imgs, outcap, cfg, speculate=False, primed=primed, seed=seed
     )
     check()  # record buckets for future speculative launches
     return _collect_bytes(kp_g, kp_fin, lens, outcap)
@@ -679,7 +683,8 @@ def fits_pallas_budget(n_sym: int) -> bool:
 
 
 def encode_lanes_pipelined(
-    batches: list[np.ndarray], cfg: CodecConfig = REV2, primed: bool = False
+    batches: list[np.ndarray], cfg: CodecConfig = REV2, primed: bool = False,
+    seed=None,
 ) -> list[list[bytes]]:
     """Encode several lane batches with cross-batch overlap (Pallas path).
 
@@ -736,29 +741,39 @@ def encode_lanes_pipelined(
         staged = _staged()
     else:
         staged = [_launch_stage_counts(imgs, cfg) for imgs in batches]
+    # two-step collect: sync each batch's (tiny) lens, dispatch its byte
+    # expansion at the actual max length and start the device->host copy,
+    # THEN materialize — a batch's bytes stream back (and its expansion
+    # runs) while later batches' chains are still computing.  The collect
+    # window is CAPPED: each in-flight batch retains its offset-packed
+    # byte records in HBM (~0.5 GB/batch at 24K-symbol stripes), so an
+    # unbounded batch list would OOM where the per-batch chain fits fine.
+    max_inflight = max(1, int(os.environ.get("LLCT_PIPELINE_INFLIGHT", "4")))
     inflight = []
+    ready = []
+
+    def _collect_one(item):
+        imgs, outcap, kp_g, kp_fin, lens_g, check = item
+        check()
+        b2, lens = _collect_bytes(kp_g, kp_fin, lens_g, outcap)
+        ready.append((imgs.shape[0], b2, lens))
+
     try:
         for ctx in staged:
             imgs = ctx[0]
             n_sym = int(np.prod(imgs.shape[1:]))
             outcap = _outcap(n_sym)
             kp_g, kp_fin, lens_g, check = _launch_stage_rest(
-                ctx, outcap, speculate=False, primed=primed
+                ctx, outcap, speculate=False, primed=primed, seed=seed
             )
             inflight.append((imgs, outcap, kp_g, kp_fin, lens_g, check))
+            while len(inflight) > max_inflight:
+                _collect_one(inflight.pop(0))
     finally:
         if stop is not None:
             stop.set()  # unblock the uploader if we are erroring out
-
-    # two-step collect: sync each batch's (tiny) lens, dispatch its byte
-    # expansion at the actual max length and start the device->host copy,
-    # THEN materialize — a batch's bytes stream back (and its expansion
-    # runs) while later batches' chains are still computing
-    ready = []
-    for imgs, outcap, kp_g, kp_fin, lens_g, check in inflight:
-        check()
-        b2, lens = _collect_bytes(kp_g, kp_fin, lens_g, outcap)
-        ready.append((imgs.shape[0], b2, lens))
+    for item in inflight:
+        _collect_one(item)
     out = []
     for S, b2, lens in ready:
         cap2 = b2.shape[1]
@@ -769,7 +784,7 @@ def encode_lanes_pipelined(
 
 def encode_lanes(
     imgs: np.ndarray, cfg: CodecConfig = REV2, engine: str = "auto",
-    primed: bool = False,
+    primed: bool = False, seed=None,
 ) -> list[bytes]:
     """Encode a batch of equal-shaped lanes [S, H, W, C] -> per-lane streams.
 
@@ -779,6 +794,10 @@ def encode_lanes(
     primed: start context row h at the hash-bucketed prior
     tables.PRIOR_TAB[h % 121] instead of zeros (sliced-container flag
     bit 0; single-stream reference mode never primes).
+    seed: optional [121, 8] u8 per-image bucket table (stored-seed
+    containers, flag bit 1): context row h resets to seed[h % 121]
+    instead — the whole batch shares one table, so per-image seeds need
+    per-image calls (api.compress) while corpus batching pools one seed.
     """
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
     S = imgs.shape[0]
@@ -789,12 +808,32 @@ def encode_lanes(
         engine = "xla"
     if engine == "pallas":
         n_sym = int(np.prod(imgs.shape[1:]))
+        # bound HBM: the compact sort holds ~n_sym*K slot records per lane
+        # in u32 pairs plus sort temps (~16 B/slot peak), so a huge lane
+        # batch OOMs (measured: 8192 lanes x 24576 syms -> 3.75 GB temps x4
+        # in _stage_compact).  Chunk to whole kernel groups and pipeline
+        # the chunks so the split costs overlap instead of serializing.
+        budget = int(os.environ.get("LLCT_LANE_SLOT_BUDGET", 650_000_000))
+        from .pallas import encode_kernels as pk
+
+        chunk = max(pk.GROUP,
+                    (budget // max(1, n_sym * 24)) // pk.GROUP * pk.GROUP)
+        if S > chunk:
+            parts = encode_lanes_pipelined(
+                [imgs[i : i + chunk] for i in range(0, S, chunk)], cfg,
+                primed=primed, seed=seed,
+            )
+            return [b for part in parts for b in part]
         outcap = _outcap(n_sym)
-        byts_g, lens = _pipeline_pallas_bytes(imgs, outcap, cfg, primed)
+        byts_g, lens = _pipeline_pallas_bytes(imgs, outcap, cfg, primed,
+                                              seed)
         cap2 = byts_g.shape[1]
         byts = np.asarray(byts_g).transpose(0, 2, 3, 1).reshape(-1, cap2)
         return [byts[s, : lens[s]].tobytes() for s in range(S)]
     counts = np.asarray(_count(imgs, cfg))
     cap = _bucket(int(counts.max()))
-    meta, runs = _pipeline(imgs, cap, cfg, primed)
+    rstmap = (jnp.asarray(tables.prior_full_from(seed, cfg.num_states,
+                                                 cfg.substates))
+              if seed is not None else None)
+    meta, runs = _pipeline(imgs, cap, cfg, primed, rstmap)
     return coder.expand_slots_batch(np.asarray(meta), np.asarray(runs))

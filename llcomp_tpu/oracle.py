@@ -328,14 +328,23 @@ def prior_states(cfg: CodecConfig = REV2) -> np.ndarray:
 
 
 def encode_planes(v: np.ndarray, cfg: CodecConfig = REV2,
-                  primed: bool = False) -> bytes:
-    """Entropy-code already-transformed int16 planes into a headerless stream."""
+                  primed: bool = False, seed=None) -> bytes:
+    """Entropy-code already-transformed int16 planes into a headerless stream.
+
+    seed: optional [121, 8] u8 stored-seed table (container flag bit 1)
+    replacing the static prior values (context row h starts at
+    seed[h % 121])."""
     hash_, diff = context_and_residual(v, cfg)
     ctx, bit, valid = binarize(diff, cfg)
     sym_hash = hash_.reshape(-1)
 
-    states = (prior_states(cfg) if primed
-              else np.zeros(cfg.num_states, dtype=np.uint8))
+    if seed is not None:
+        states = tables.prior_full_from(seed, cfg.num_states,
+                                        cfg.substates).copy()
+    elif primed:
+        states = prior_states(cfg)
+    else:
+        states = np.zeros(cfg.num_states, dtype=np.uint8)
     prob = tables.STATE_PROB
     nxt = tables.NEXT_STATE
     enc = RangeEncoder()

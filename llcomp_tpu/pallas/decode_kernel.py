@@ -840,17 +840,25 @@ def _use_interpret() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("H", "W", "C", "cfg", "primed")
+    jax.jit, static_argnames=("H", "W", "C", "cfg", "primed", "lane_major")
 )
 def decode_groups_images(data: jnp.ndarray, H: int, W: int, C: int,
-                         cfg: CodecConfig = REV2, primed: bool = False):
+                         cfg: CodecConfig = REV2, primed: bool = False,
+                         lane_major: bool = False, seed=None):
     """Like decode_groups, but finishes on-device: un-permutes the planes,
     applies the inverse RCT and returns uint8 images [G*128, H, W, C] plus
     the per-lane error flags.  4x less device->host traffic than fetching
-    the raw i32 planes (the tunnel link is the e2e decode bottleneck)."""
+    the raw i32 planes (the tunnel link is the e2e decode bottleneck).
+
+    lane_major=True takes [G, 128, cap] instead of [G, cap, 128]: the host
+    then fills each stream with ONE contiguous memcpy (the [cap, 128]
+    layout costs thousands of stride-128 writes per batch) and the device
+    pays a ~1 s/GB relayout instead (docs/DESIGN.md backend notes)."""
     from ..core import transform
 
-    planes, err = decode_groups(data, H, W, C, cfg, primed)
+    if lane_major:
+        data = data.transpose(0, 2, 1)
+    planes, err = _decode_groups_impl(data, H, W, C, cfg, "", primed, seed)
     G = data.shape[0]
     n_sym = H * W * C
     imgs = (
@@ -865,34 +873,58 @@ def decode_groups_images(data: jnp.ndarray, H: int, W: int, C: int,
     jax.jit, static_argnames=("H", "W", "C", "cfg", "primed")
 )
 def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
-                  cfg: CodecConfig = REV2, primed: bool = False):
+                  cfg: CodecConfig = REV2, primed: bool = False,
+                  seed=None):
     """data [G, cap, 128] u8 (zero-padded, cap % 64 == 0) ->
     (planes [G, n_sym_pad, 128] i32, err [G, 8, 128] i32)."""
-    return _decode_groups_impl(data, H, W, C, cfg, "", primed)
+    return _decode_groups_impl(data, H, W, C, cfg, "", primed, seed)
+
+
+# Usable scoped-VMEM budget, MEASURED on the target chip (v5e via axon),
+# tools/probe_decode_nsub.py at stride 6144: NSUB=4 (~56 MB by the model
+# below) decodes bit-exact, NSUB=6 (~83 MB) dies with "TPU backend error",
+# NSUB=8 (~111 MB) kills the worker outright — despite the nominal 128 MB
+# limit Mosaic accepts at compile time.  64 MB sits under the measured
+# fault line with margin; r02's bench crash at 2048-wide was exactly this
+# model over-budgeting (VERDICT r2 item 1).
+VMEM_BUDGET = int(os.environ.get("LLCT_DECODE_VMEM_BUDGET",
+                                 64 * 1024 * 1024))
+
+
+def _group_vmem(cap: int, stride: int) -> int:
+    """Blocked-kernel VMEM bytes per lane-group (x128 lanes, i32 words).
+
+    Counts the Pallas pipeline's DOUBLE buffers on the grid-indexed blocks
+    (data in, planes out) — omitting them is how the old model passed
+    compile at NSUB=8 and faulted at runtime."""
+    return (
+        NS4 * 512                      # model scratch
+        + (32 + 3 * stride) * 512      # reconstructed-line ring
+        + 2 * cap * 128                # packed stream window (double-buf)
+        + 2 * SYMCHUNK * 512           # planes output block (double-buf)
+        + 64 * 1024                    # coder/pending/SMEM slack
+    )
 
 
 def _pick_nsub(G: int, cap: int, stride: int = 1536) -> int:
     """Lane-groups per kernel instance.  More groups amortize the decision
     machine's vector instructions (sublane packing) but multiply the VMEM
-    footprint, so fit as many as the v5e VMEM limit allows.  Per group:
-    the packed model (NS4 words), the 3-line pixel ring (scales with
-    ``stride`` = W*C — at 2048 px wide it alone is ~9.5 MB), the byte
-    window, and the SYMCHUNK planes block, all x 128 lanes."""
+    footprint, so fit as many as the measured VMEM budget allows."""
     env = os.environ.get("LLCT_DECODE_NSUB")
     if env:
         return max(1, min(8, int(env), G))
-    per_group = (
-        NS4 * 512                      # model scratch
-        + (32 + 3 * stride) * 512      # reconstructed-line ring
-        + cap * 128                    # packed stream window (cap4 i32)
-        + SYMCHUNK * 512               # planes output block
-        + 64 * 1024                    # coder/pending/SMEM slack
-    )
-    budget = 112 * 1024 * 1024         # headroom under the 128 MB limit
-    return max(1, min(8, budget // per_group, G))
+    return max(1, min(8, VMEM_BUDGET // _group_vmem(cap, stride), G))
 
 
-def _decode_groups_impl(data, H, W, C, cfg, ablate, primed=False):
+def fits_pallas_decode(cap: int, stride: int) -> bool:
+    """True iff one lane-group fits the measured VMEM budget (ultra-wide
+    stripes fall back to the XLA decode engines, mirroring
+    encode.fits_pallas_budget)."""
+    return _group_vmem(cap, stride) <= VMEM_BUDGET
+
+
+def _decode_groups_impl(data, H, W, C, cfg, ablate, primed=False,
+                        seed=None):
     G, cap = data.shape[0], data.shape[1]
     n_sym = H * W * C
     n_chunks = -(-n_sym // SYMCHUNK)
@@ -914,7 +946,20 @@ def _decode_groups_impl(data, H, W, C, cfg, ablate, primed=False):
     blocked = (stride % 8 == 0 and C <= 8
                and (not interpret
                     or os.environ.get("LLCT_DECODE_FORCE_BLOCKED") == "1"))
-    tabs = [_FUSED, _Q11_LO, _Q11_HI, _Q5_LO, _Q5_HI, _PRIOR_LO_B, _PRIOR_HI_B]
+    if seed is not None:
+        # stored-seed table (container flag bit 1): same operand layout as
+        # the static prior, values swapped per call — the kernel (and its
+        # compile) is identical, only plo/phi data differ
+        t = jnp.asarray(seed, jnp.int32)
+        slo = t[:, 0] | t[:, 1] << 8 | t[:, 2] << 16 | t[:, 3] << 24
+        shi = t[:, 4] | t[:, 5] << 8 | t[:, 6] << 16 | t[:, 7] << 24
+        plo_b = jnp.broadcast_to(
+            jnp.zeros(LANES, jnp.int32).at[:121].set(slo), (8, LANES))
+        phi_b = jnp.broadcast_to(
+            jnp.zeros(LANES, jnp.int32).at[:121].set(shi), (8, LANES))
+    else:
+        plo_b, phi_b = _PRIOR_LO_B, _PRIOR_HI_B
+    tabs = [_FUSED, _Q11_LO, _Q11_HI, _Q5_LO, _Q5_HI, plo_b, phi_b]
     if blocked:
         NSUB = _pick_nsub(G, cap, stride)
         G_out = -(-G // NSUB)

@@ -281,11 +281,30 @@ SYMCHUNK = 32             # symbols per walk grid step
 
 
 @functools.partial(jax.jit, static_argnames=("K", "primed"))
-def walk_symbols(xs: jnp.ndarray, K: int = 24, primed: bool = False):
+def walk_symbols(xs: jnp.ndarray, K: int = 24, primed: bool = False,
+                 seed=None):
     """Sorted symbols [G, n_sym_pad, 8, 128] -> two quad-major pair-packed
     record streams (lo, hi), each [G, n_sym_pad*K/4, 8, 128] i32 (two
     10-bit records per word), for the compacting back sort
-    (encode._stage_compact)."""
+    (encode._stage_compact).
+
+    seed: optional [121, 8] u8 per-image bucket table (stored-seed
+    containers, flag bit 1) replacing the static tables.PRIOR_TAB values
+    in the reset-row operands; the kernel is unchanged — only the operand
+    VALUES differ, so primed and seeded compile once each."""
+    if seed is not None:
+        t = jnp.asarray(seed, jnp.int32)
+        lo = t[:, 0] | t[:, 1] << 8 | t[:, 2] << 16 | t[:, 3] << 24
+        hi = t[:, 4] | t[:, 5] << 8 | t[:, 6] << 16 | t[:, 7] << 24
+        plo = jnp.broadcast_to(
+            jnp.zeros(LANES, jnp.int32).at[:121].set(lo), (SUBS, LANES)
+        )
+        phi = jnp.broadcast_to(
+            jnp.zeros(LANES, jnp.int32).at[:121].set(hi), (SUBS, LANES)
+        )
+    else:
+        plo = jnp.asarray(_PRIOR_LO_B)
+        phi = jnp.asarray(_PRIOR_HI_B)
     G, n_pad = xs.shape[0], xs.shape[1]
     assert n_pad % SYMCHUNK == 0, n_pad
     assert K % 4 == 0, K  # quad-packed compact sort granularity
@@ -320,8 +339,8 @@ def walk_symbols(xs: jnp.ndarray, K: int = 24, primed: bool = False):
         jnp.asarray(_PROB_B),
         jnp.asarray(_NS0_B),
         jnp.asarray(_NS1_B),
-        jnp.asarray(_PRIOR_LO_B),
-        jnp.asarray(_PRIOR_HI_B),
+        plo,
+        phi,
     )
 
 

@@ -144,7 +144,14 @@ def compress_sharded(
 
 
 def decompress_sharded(data: bytes, mesh: Mesh, cfg: CodecConfig = REV2) -> np.ndarray:
-    streams, W, H, C, slice_h, flags = container.unpack_sliced(data, cfg)
+    streams, W, H, C, slice_h, flags, seed_blob = container.unpack_sliced(
+        data, cfg)
+    if seed_blob is not None:
+        # seeded containers carry a per-image table the sharded decode does
+        # not thread yet; the single-device path handles them
+        from . import api
+
+        return api.decompress(data, cfg)
     primed = bool(flags & container.FLAG_PRIMED)
     bounds = container.slice_bounds(H, slice_h)
     out = np.empty((H, W, C), dtype=np.uint8)

@@ -38,7 +38,7 @@ def test_sliced_streams_are_independent_reference_streams():
     """Each stripe payload is a valid headerless rev-2 stream of that stripe."""
     img = make_photo(24, 16)
     blob = llcomp_tpu.compress(img, slices=3, primed=False)
-    streams, W, H, C, slice_h, flags = container.unpack_sliced(blob)
+    streams, W, H, C, slice_h, flags, _seed = container.unpack_sliced(blob)
     assert (W, H, C, slice_h, len(streams), flags) == (16, 24, 3, 8, 3, 0)
     for i, s in enumerate(streams):
         stripe = img[i * 8 : (i + 1) * 8]
@@ -49,7 +49,7 @@ def test_sliced_primed_streams_match_primed_oracle():
     """Primed stripes = oracle encode with the PRIOR_SUB initial model."""
     img = make_photo(24, 16)
     blob = llcomp_tpu.compress(img, slices=3, primed=True)
-    streams, W, H, C, slice_h, flags = container.unpack_sliced(blob)
+    streams, W, H, C, slice_h, flags, _seed = container.unpack_sliced(blob)
     assert flags & container.FLAG_PRIMED
     for i, s in enumerate(streams):
         stripe = img[i * 8 : (i + 1) * 8]
@@ -75,7 +75,7 @@ def test_primed_all_decode_engines_agree():
 
     img = make_photo(16, 16)
     blob = llcomp_tpu.compress(img, slices=2, primed=True)
-    streams, W, H, C, slice_h, flags = container.unpack_sliced(blob)
+    streams, W, H, C, slice_h, flags, _seed = container.unpack_sliced(blob)
     ref = np.stack([img[:8], img[8:]])
     for engine in ("decision", "lockstep", "rowbatch"):
         out = jdec.decode_lanes(streams, (8, W, C), engine=engine, primed=True)
@@ -156,7 +156,7 @@ def test_reencode_slice_heals_corrupt_stripe():
     original container (slice independence, SURVEY §5)."""
     img = make_photo(32, 16)
     blob = llcomp_tpu.compress(img, slices=4)
-    streams, W, H, C, slice_h, flags = container.unpack_sliced(blob)
+    streams, W, H, C, slice_h, flags, _seed = container.unpack_sliced(blob)
     # corrupt slice 2's payload in place
     bad = list(streams)
     bad[2] = bytes([b ^ 0xFF for b in bad[2]])
@@ -168,6 +168,83 @@ def test_reencode_slice_heals_corrupt_stripe():
     np.testing.assert_array_equal(llcomp_tpu.decompress(healed), img)
 
 
+def test_seeded_roundtrip_and_oracle_exact():
+    """Stored-seed mode (flag bit 1): per-image table in the container,
+    every stripe's context row h resets to seed[h % 121]; streams must
+    match the oracle encoding with that table, and decode must restore
+    the exact image on jax and native backends."""
+    from llcomp_tpu import seed as seedmod
+
+    img = make_photo(32, 16, seed=9)
+    blob = llcomp_tpu.compress(img, slices=4, seeded=True)
+    streams, W, H, C, slice_h, flags, seed_blob = container.unpack_sliced(
+        blob)
+    assert flags & container.FLAG_SEEDED and seed_blob
+    tab = seedmod.unpack_blob(seed_blob)
+    assert tab.shape == (121, 8)
+    for i, s in enumerate(streams):
+        stripe = img[i * 8 : (i + 1) * 8]
+        assert s == oracle.encode_planes(oracle.rct_forward(stripe),
+                                         seed=tab)
+    np.testing.assert_array_equal(llcomp_tpu.decompress(blob), img)
+    np.testing.assert_array_equal(
+        llcomp_tpu.decompress(blob, backend="native"), img)
+    # native encode emits identical containers
+    nblob = llcomp_tpu.compress(img, slices=4, seeded=True, backend="native")
+    assert nblob == blob
+
+
+def test_seeded_decode_engines_agree():
+    from llcomp_tpu import decode as jdec, seed as seedmod
+
+    img = make_photo(16, 16, seed=4)
+    blob = llcomp_tpu.compress(img, slices=2, seeded=True)
+    streams, W, H, C, slice_h, flags, seed_blob = container.unpack_sliced(
+        blob)
+    tab = seedmod.unpack_blob(seed_blob)
+    ref = np.stack([img[:8], img[8:]])
+    for engine in ("decision", "lockstep", "rowbatch", "pallas"):
+        out = jdec.decode_lanes(streams, (8, W, C), engine=engine,
+                                primed=True, seed=tab)
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_seeded_reencode_slice_heals():
+    img = make_photo(32, 16, seed=11)
+    blob = llcomp_tpu.compress(img, slices=4, seeded=True)
+    streams, W, H, C, slice_h, flags, seed_blob = container.unpack_sliced(
+        blob)
+    bad = list(streams)
+    bad[1] = bytes([b ^ 0xAA for b in bad[1]])
+    broken = container.pack_sliced(bad, W, H, C, slice_h, flags=flags,
+                                   seed_blob=seed_blob)
+    y0, y1 = container.slice_bounds(H, slice_h)[1]
+    healed = api.reencode_slice(broken, 1, img[y0:y1])
+    assert healed == blob
+
+
+def test_seeded_auto_policy():
+    """Auto: small images stay unseeded; large photo-like images seed."""
+    small = llcomp_tpu.compress(make_photo(32, 16), slices=4)
+    assert not (container.unpack_sliced(small)[5] & container.FLAG_SEEDED)
+    big = llcomp_tpu.compress(make_photo(256, 256), slices="auto")
+    assert container.unpack_sliced(big)[5] & container.FLAG_SEEDED
+    # and it must pay: seeded no larger than the static prior on photo data
+    unseeded = llcomp_tpu.compress(make_photo(256, 256), slices="auto",
+                                   seeded=False)
+    assert len(big) <= len(unseeded)
+
+
+def test_seed_blob_roundtrip_and_validation():
+    from llcomp_tpu import seed as seedmod
+
+    tab = seedmod.derive(make_photo(64, 64))
+    assert tab.shape == (121, 8) and tab.dtype == np.uint8
+    assert np.array_equal(seedmod.unpack_blob(seedmod.pack_blob(tab)), tab)
+    with pytest.raises(ValueError):
+        seedmod.unpack_blob(__import__("zlib").compress(b"short"))
+
+
 def test_decompress_nonstrict_isolates_corrupt_slice():
     """One corrupt stripe costs one stripe: strict=False returns the good
     slices + a bad-slice report instead of raising away the batch
@@ -176,7 +253,7 @@ def test_decompress_nonstrict_isolates_corrupt_slice():
 
     img = make_photo(32, 16)
     blob = llcomp_tpu.compress(img, slices=4, primed=False)
-    streams, W, H, C, slice_h, flags = container.unpack_sliced(blob)
+    streams, W, H, C, slice_h, flags, _seed = container.unpack_sliced(blob)
     bad = list(streams)
     bad[2] = _malicious_stream()  # reliably trips the e>31 guard
     broken = container.pack_sliced(bad, W, H, C, slice_h, flags=flags)

@@ -62,3 +62,25 @@ def test_stats_fields():
     d = stats.as_dict()
     assert d["images"] == 1 and d["pixels"] == 256
     assert d["bpp"] > 0 and d["mps"] > 0
+
+
+def test_corpus_seeded_pooled_roundtrip():
+    """Large photo corpora auto-seed (flag bit 1) with ONE pooled table
+    shared across the batch; containers round-trip and stay independently
+    decodable via api.decompress."""
+    from llcomp_tpu import container
+
+    imgs = [make_photo(256, 256, seed=30 + i) for i in range(3)]
+    blobs, stats = corpus.compress_corpus(imgs, slice_h=8, backend="native")
+    seeds = set()
+    for b in blobs:
+        flags, seed_blob = container.unpack_sliced(b)[5:7]
+        assert flags & container.FLAG_SEEDED and seed_blob
+        seeds.add(seed_blob)
+    assert len(seeds) == 1  # pooled: same table in every container
+    outs = corpus.decompress_corpus(blobs, backend="native")
+    for a, b in zip(outs, imgs):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(
+        llcomp_tpu.decompress(blobs[0], backend="native"), imgs[0])
+    np.testing.assert_array_equal(llcomp_tpu.decompress(blobs[1]), imgs[1])

@@ -51,8 +51,9 @@ def _one(H: int, CH: int) -> int:
     while H % slice_h:
         slice_h -= 1
     rng = np.random.default_rng(77)
-    n_img = max(2, 1024 * 8 // (H // slice_h))  # >=8 groups when cheap
-    n_img = min(n_img, 16)
+    # target ~2048 lanes: enough for 2+ decode superblocks at NSUB<=8
+    # without making the gate expensive at 4K geometries
+    n_img = min(16, max(2, 2048 // (H // slice_h)))
     yy, xx = np.mgrid[0:H, 0:W]
     imgs = []
     for i in range(n_img):
