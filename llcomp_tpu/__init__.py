@@ -10,7 +10,8 @@ from .core.config import REV2, CodecConfig, EXT, EXT_SLICED  # noqa: F401
 
 __version__ = "0.1.0"
 
-_API = ("compress", "decompress", "compress_sliced", "decompress_sliced")
+_API = ("compress", "decompress", "compress_sliced", "decompress_sliced",
+        "reencode_slice")
 
 
 def __getattr__(name):

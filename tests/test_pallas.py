@@ -153,3 +153,28 @@ def test_encode_variants_byte_identical(monkeypatch):
     assert a == b
     for i in range(len(lanes)):
         assert a[i] == oracle.encode(lanes[i])[6:]
+
+
+def test_encode_lanes_chunking_byte_identical(monkeypatch):
+    """encode_lanes splits over-budget lane batches into whole kernel
+    groups and pipelines them (HBM bound, round 3); bytes must be
+    identical to the unchunked path."""
+    lanes = np.stack([make_photo(1, 8, seed=200 + i) for i in range(1025)])
+    monkeypatch.setenv("LLCT_LANE_SLOT_BUDGET", "300000")  # chunk = 1024
+    a = jenc.encode_lanes(lanes, engine="pallas")
+    monkeypatch.delenv("LLCT_LANE_SLOT_BUDGET")
+    b = jenc.encode_lanes(lanes, engine="pallas")
+    assert a == b
+    assert a[0] == oracle.encode(lanes[0])[6:]
+    assert a[1024] == oracle.encode(lanes[1024])[6:]
+
+
+def test_pipelined_inflight_window_byte_identical(monkeypatch):
+    """The capped collect window must not change bytes or order."""
+    batches = [np.stack([make_photo(4, 8, seed=70 + 3 * b + i)
+                         for i in range(2)]) for b in range(3)]
+    monkeypatch.setenv("LLCT_PIPELINE_INFLIGHT", "1")
+    a = jenc.encode_lanes_pipelined(batches)
+    monkeypatch.delenv("LLCT_PIPELINE_INFLIGHT")
+    b = jenc.encode_lanes_pipelined(batches)
+    assert a == b
