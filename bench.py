@@ -280,11 +280,26 @@ def main() -> int:
         dec_engine = os.environ.get(
             "BENCH_DECODE_ENGINE", "pallas" if on_tpu else "decision"
         )
+        def _retry_blip(fn, *a, **kw):
+            """One retry on transient backend blips: the remote worker
+            oscillates between healthy and sick states after any fault
+            (INTERNAL / UNAVAILABLE / FAILED_PRECONDITION; DESIGN r3
+            notes) — a single blip must not zero the whole capture."""
+            try:
+                return fn(*a, **kw)
+            except Exception as e:
+                msg = str(e)
+                if not any(s in msg for s in
+                           ("INTERNAL", "UNAVAILABLE", "FAILED_PRECONDITION")):
+                    raise
+                time.sleep(90)
+                return fn(*a, **kw)
+
         try:
             t0 = time.time()
-            out_lanes = jdec.decode_lanes(streams, (slice_h, W, CH),
-                                          engine=dec_engine, primed=primed,
-                                          seed=seed_tab)
+            out_lanes = _retry_blip(
+                jdec.decode_lanes, streams, (slice_h, W, CH),
+                engine=dec_engine, primed=primed, seed=seed_tab)
             dec_total = time.time() - t0
             ok = np.array_equal(out_lanes, lanes)
             # timed pass: all fresh batches in ONE decode_lanes call — the
@@ -307,9 +322,9 @@ def main() -> int:
                               for f in fbds])
                 allstreams = [s for st in stds for s in st]
                 t0 = time.time()
-                outd = jdec.decode_lanes(allstreams, (slice_h, W, CH),
-                                         engine=dec_engine, primed=primed,
-                                         seed=seed_tab)
+                outd = _retry_blip(
+                    jdec.decode_lanes, allstreams, (slice_h, W, CH),
+                    engine=dec_engine, primed=primed, seed=seed_tab)
                 dec_warm = min(dec_warm, (time.time() - t0) / reps)
                 ok = ok and np.array_equal(outd, np.concatenate(fbds))
             dec_mps = mp_total / dec_warm

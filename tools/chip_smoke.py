@@ -85,6 +85,31 @@ def _one(H: int, CH: int) -> int:
     return 0 if exact else 3
 
 
+def _await_healthy_worker(max_wait_s: int = 900) -> None:
+    """Block until a trivial TPU program runs fast in a subprocess.
+
+    After a kernel fault the remote worker can stay SICK for minutes
+    (INTERNAL / FAILED_PRECONDITION errors, 100x slowdowns) — testing the
+    next config against a sick worker produces false failures
+    (docs/DESIGN.md round-3 backend notes).
+    """
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(int((jnp.arange(1<<20)*3).sum()) % 97)")
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        t1 = time.time()
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=120,
+                               capture_output=True)
+            if r.returncode == 0 and time.time() - t1 < 30:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"SMOKE worker unhealthy ({time.time()-t1:.0f}s probe); "
+              "waiting 60s", flush=True)
+        time.sleep(60)
+
+
 def main() -> int:
     if len(sys.argv) >= 4 and sys.argv[1] == "--one":
         return _one(int(sys.argv[2]), int(sys.argv[3]))
@@ -98,6 +123,7 @@ def main() -> int:
     ok_all = True
     for (H, CH) in configs:
         key = f"{H}x{H}x{CH}"
+        _await_healthy_worker()
         t0 = time.time()
         try:
             r = subprocess.run(
