@@ -880,25 +880,27 @@ def decode_groups(data: jnp.ndarray, H: int, W: int, C: int,
     return _decode_groups_impl(data, H, W, C, cfg, "", primed, seed)
 
 
-# Usable scoped-VMEM budget, MEASURED on the target chip (v5e via axon),
-# tools/probe_decode_nsub.py at stride 6144: NSUB=4 (~56 MB by the model
-# below) decodes bit-exact, NSUB=6 (~83 MB) dies with "TPU backend error",
-# NSUB=8 (~111 MB) kills the worker outright — despite the nominal 128 MB
-# limit Mosaic accepts at compile time.  64 MB sits under the measured
-# fault line with margin; r02's bench crash at 2048-wide was exactly this
-# model over-budgeting (VERDICT r2 item 1).
+# NSUB constraints, MEASURED on the target chip (v5e via axon) with
+# tools/probe_decode_nsub.py + tools/probe_decode_bisect.py, round 3:
+#
+# 1. **NSUB must be a power of two.**  Non-power-of-two sublane packings
+#    mis-execute at RUNTIME (they compile fine): NSUB=5 and NSUB=6 fail
+#    with "TPU backend error (Internal)" — or kill the worker outright —
+#    at BOTH 512-wide (scratch well under any limit) and 2048-wide, while
+#    2/4/8 decode bit-exact at the same geometries.  r02's bench crash at
+#    2048-wide was the old sizing model picking NSUB=5.
+# 2. **Total footprint must stay under ~112 MB.**  NSUB=8 at stride 6144
+#    (~168 MB with pipeline buffers) kills the worker; NSUB=8 at stride
+#    1536 (~103 MB) and NSUB=4 at 6144 (~84 MB) are bit-exact.
 VMEM_BUDGET = int(os.environ.get("LLCT_DECODE_VMEM_BUDGET",
-                                 64 * 1024 * 1024))
+                                 112 * 1024 * 1024))
 
 
 def _group_vmem(cap: int, stride: int) -> int:
-    """Blocked-kernel VMEM bytes per lane-group (x128 lanes, i32 words).
-
-    Counts the Pallas pipeline's DOUBLE buffers on the grid-indexed blocks
-    (data in, planes out) — omitting them is how the old model passed
-    compile at NSUB=8 and faulted at runtime."""
+    """Blocked-kernel VMEM bytes per lane-group (x128 lanes, i32 words),
+    counting the Pallas pipeline's double buffers on grid-indexed blocks."""
     return (
-        NS4 * 512                      # model scratch
+        NS4 * 512                      # model scratch (~8.1 MB)
         + (32 + 3 * stride) * 512      # reconstructed-line ring
         + 2 * cap * 128                # packed stream window (double-buf)
         + 2 * SYMCHUNK * 512           # planes output block (double-buf)
@@ -907,13 +909,15 @@ def _group_vmem(cap: int, stride: int) -> int:
 
 
 def _pick_nsub(G: int, cap: int, stride: int = 1536) -> int:
-    """Lane-groups per kernel instance.  More groups amortize the decision
-    machine's vector instructions (sublane packing) but multiply the VMEM
-    footprint, so fit as many as the measured VMEM budget allows."""
+    """Lane-groups per kernel instance: the largest POWER OF TWO <= 8 whose
+    total footprint fits the measured budget (see constraints above).
+    More groups amortize the decision machine's vector instructions
+    (sublane packing: ~1.55x per doubling, r02 ablation)."""
     env = os.environ.get("LLCT_DECODE_NSUB")
     if env:
         return max(1, min(8, int(env), G))
-    return max(1, min(8, VMEM_BUDGET // _group_vmem(cap, stride), G))
+    n = max(1, min(8, VMEM_BUDGET // _group_vmem(cap, stride), G))
+    return 1 << (n.bit_length() - 1)   # round down to a power of two
 
 
 def fits_pallas_decode(cap: int, stride: int) -> bool:

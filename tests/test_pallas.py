@@ -178,3 +178,20 @@ def test_pipelined_inflight_window_byte_identical(monkeypatch):
     monkeypatch.delenv("LLCT_PIPELINE_INFLIGHT")
     b = jenc.encode_lanes_pipelined(batches)
     assert a == b
+
+
+def test_decode_vmem_budget_model():
+    """The measured-VMEM sizing that fixed the r02 2048-wide worker fault:
+    NSUB picks must stay under decode_kernel.VMEM_BUDGET counting double
+    buffers, and ultra-wide strides fall out of the Pallas path."""
+    from llcomp_tpu.pallas import decode_kernel as dk
+
+    # bench headline geometry: full 8-group packing still allowed
+    assert dk._pick_nsub(8, 8192, 512 * 3) == 8
+    # 2048-wide (stride 6144): the r02 crash geometry must cap at <= 4
+    n = dk._pick_nsub(24, 12288, 2048 * 3)
+    assert 1 <= n <= 4
+    assert n * dk._group_vmem(12288, 2048 * 3) <= dk.VMEM_BUDGET
+    # ultra-wide stripes cannot take the kernel even one group at a time
+    assert not dk.fits_pallas_decode(4096, 50000 * 3)
+    assert dk.fits_pallas_decode(8192, 1536)
