@@ -73,7 +73,7 @@ def compress_corpus(
     images: list[np.ndarray],
     slice_h: int = 8,
     cfg: CodecConfig = REV2,
-    max_lanes_per_batch: int = 2048,
+    max_lanes_per_batch: int = 4096,
     mesh=None,
     primed: bool | None = None,
     backend: str = "jax",
@@ -191,7 +191,7 @@ def compress_corpus(
 
 
 def decompress_corpus(
-    blobs: list[bytes], cfg: CodecConfig = REV2, max_lanes_per_batch: int = 2048,
+    blobs: list[bytes], cfg: CodecConfig = REV2, max_lanes_per_batch: int = 4096,
     mesh=None, backend: str = "jax",
 ) -> list[np.ndarray]:
     """Decompress many sliced containers, batching stripes across images."""

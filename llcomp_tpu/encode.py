@@ -102,7 +102,7 @@ def _probability_prepass(compact: jnp.ndarray, cfg: CodecConfig,
     )
     seg_start = skey != prev
     if rstmap is not None:  # stored-seed reset map (container flag bit 1)
-        rst = rstmap[jnp.clip(skey, 0, cfg.num_states - 1)]
+        rst = jnp.asarray(rstmap)[jnp.clip(skey, 0, cfg.num_states - 1)]
     elif primed:
         rst = jnp.asarray(tables.prior_full(cfg.num_states, cfg.substates))[
             jnp.clip(skey, 0, cfg.num_states - 1)
@@ -813,7 +813,11 @@ def encode_lanes(
         # batch OOMs (measured: 8192 lanes x 24576 syms -> 3.75 GB temps x4
         # in _stage_compact).  Chunk to whole kernel groups and pipeline
         # the chunks so the split costs overlap instead of serializing.
-        budget = int(os.environ.get("LLCT_LANE_SLOT_BUDGET", 650_000_000))
+        # 4096 lanes x 12288 syms (1.2e9 slots) measured safe and +20%
+        # device throughput over 1024-lane batches (tools/sweep_lanes.py);
+        # 8192 x 24576 (4.8e9) OOMs — the bound sits between, with margin
+        budget = int(os.environ.get("LLCT_LANE_SLOT_BUDGET",
+                                    1_300_000_000))
         from .pallas import encode_kernels as pk
 
         chunk = max(pk.GROUP,

@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from . import coder, container
 from . import decode as jdecode
 from . import encode as jencode
-from .core import transform
+from .core import tables, transform
 from .core.config import REV2, CodecConfig
 
 LANE_AXIS = "lanes"
@@ -48,9 +48,11 @@ def _pad_lanes(n: int, n_dev: int) -> int:
 
 def encode_lanes_sharded(
     lanes: np.ndarray, mesh: Mesh, cfg: CodecConfig = REV2,
-    primed: bool = False,
+    primed: bool = False, seed=None,
 ) -> list[bytes]:
-    """Encode equal-shaped lanes [S, H, W, C], sharded over the mesh lane axis."""
+    """Encode equal-shaped lanes [S, H, W, C], sharded over the mesh lane
+    axis.  ``seed``: optional [121, 8] stored-seed table (flag bit 1) —
+    replicated to every device as a jit constant, like the static prior."""
     S = lanes.shape[0]
     n_dev = mesh.devices.size
     Sp = _pad_lanes(S, n_dev)
@@ -62,13 +64,16 @@ def encode_lanes_sharded(
 
     counts = np.asarray(jencode._count(dev_lanes, cfg))
     cap = jencode._bucket(int(counts.max()))
+    rstmap = (None if seed is None else
+              np.asarray(tables.prior_full_from(seed, cfg.num_states,
+                                                cfg.substates)))
 
     # shard_map: every device runs the full scan on its own lane block with
     # purely local flat indexing — zero collectives by construction (the SPMD
     # partitioner cannot prove locality of the flat model gathers itself).
     fn = jax.jit(
         jax.shard_map(
-            lambda x: jencode._pipeline_impl(x, cap, cfg, primed),
+            lambda x: jencode._pipeline_impl(x, cap, cfg, primed, rstmap),
             mesh=mesh,
             in_specs=P(LANE_AXIS),
             out_specs=(P(None, LANE_AXIS), P(None, LANE_AXIS)),
@@ -81,7 +86,7 @@ def encode_lanes_sharded(
 
 def decode_lanes_sharded(
     streams: list[bytes], shape: tuple[int, int, int], mesh: Mesh,
-    cfg: CodecConfig = REV2, primed: bool = False,
+    cfg: CodecConfig = REV2, primed: bool = False, seed=None,
 ) -> np.ndarray:
     H, W, C = shape
     S = len(streams)
@@ -94,9 +99,12 @@ def decode_lanes_sharded(
 
     sh_in = NamedSharding(mesh, P(LANE_AXIS))
     dev = jax.device_put(data, sh_in)
+    rstmap = (None if seed is None else
+              np.asarray(tables.prior_full_from(seed, cfg.num_states,
+                                                cfg.substates)))
     fn = jax.jit(
         jax.shard_map(
-            lambda x: jdecode._decode_impl(x, H, W, C, cfg, primed),
+            lambda x: jdecode._decode_impl(x, H, W, C, cfg, primed, rstmap),
             mesh=mesh,
             in_specs=P(LANE_AXIS),
             out_specs=(P(LANE_AXIS), P(LANE_AXIS)),
@@ -126,6 +134,12 @@ def compress_sharded(
         slice_h = max(1, -(-H // int(slices)))
     bounds = container.slice_bounds(H, slice_h)
     primed = len(bounds) > 1 and api._pick_primed(img, cfg)
+    seed_tab = seed_blob = None
+    if primed and H * W * C >= 120_000:  # same auto policy as api.compress
+        from . import seed as seedmod
+
+        seed_tab = seedmod.derive(img, cfg)
+        seed_blob = seedmod.pack_blob(seed_tab)
 
     by_shape: dict[int, list[int]] = {}
     for i, (y0, y1) in enumerate(bounds):
@@ -134,25 +148,26 @@ def compress_sharded(
     for rows, idxs in by_shape.items():
         stack = np.stack([img[bounds[i][0] : bounds[i][1]] for i in idxs])
         for i, blob in zip(
-            idxs, encode_lanes_sharded(stack, mesh, cfg, primed)
+            idxs, encode_lanes_sharded(stack, mesh, cfg, primed, seed_tab)
         ):
             out[i] = blob
     return container.pack_sliced(
         out, W, H, C, slice_h, cfg,
-        flags=container.FLAG_PRIMED if primed else 0,
+        flags=(container.FLAG_SEEDED if seed_tab is not None
+               else (container.FLAG_PRIMED if primed else 0)),
+        seed_blob=seed_blob,
     )
 
 
 def decompress_sharded(data: bytes, mesh: Mesh, cfg: CodecConfig = REV2) -> np.ndarray:
     streams, W, H, C, slice_h, flags, seed_blob = container.unpack_sliced(
         data, cfg)
+    seed_tab = None
     if seed_blob is not None:
-        # seeded containers carry a per-image table the sharded decode does
-        # not thread yet; the single-device path handles them
-        from . import api
+        from . import seed as seedmod
 
-        return api.decompress(data, cfg)
-    primed = bool(flags & container.FLAG_PRIMED)
+        seed_tab = seedmod.unpack_blob(seed_blob)
+    primed = bool(flags & (container.FLAG_PRIMED | container.FLAG_SEEDED))
     bounds = container.slice_bounds(H, slice_h)
     out = np.empty((H, W, C), dtype=np.uint8)
     by_shape: dict[int, list[int]] = {}
@@ -160,7 +175,8 @@ def decompress_sharded(data: bytes, mesh: Mesh, cfg: CodecConfig = REV2) -> np.n
         by_shape.setdefault(y1 - y0, []).append(i)
     for rows, idxs in by_shape.items():
         lanes = decode_lanes_sharded(
-            [streams[i] for i in idxs], (rows, W, C), mesh, cfg, primed
+            [streams[i] for i in idxs], (rows, W, C), mesh, cfg, primed,
+            seed_tab,
         )
         for k, i in enumerate(idxs):
             out[bounds[i][0] : bounds[i][1]] = lanes[k]

@@ -56,3 +56,21 @@ def test_mesh_sizes(mesh8):
         for n in (1, 2, 4, 8)
     }
     assert len({b for b in blobs.values()}) == 1
+
+
+def test_sharded_seeded_container_roundtrip(mesh8):
+    """Seeded containers (flag bit 1) now flow through the sharded path:
+    compress_sharded auto-seeds large photo images and decompress_sharded
+    decodes with the stored table on the mesh."""
+    from llcomp_tpu import container
+
+    img = make_photo(256, 256, seed=77)
+    blob = parallel.compress_sharded(img, mesh8)
+    flags, seed_blob = container.unpack_sliced(blob)[5:7]
+    assert flags & container.FLAG_SEEDED and seed_blob
+    out = parallel.decompress_sharded(blob, mesh8)
+    np.testing.assert_array_equal(out, img)
+    # and the single-device decoder agrees
+    import llcomp_tpu
+
+    np.testing.assert_array_equal(llcomp_tpu.decompress(blob), img)
