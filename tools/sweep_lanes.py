@@ -27,7 +27,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-from llcomp_tpu import decode as jdec  # noqa: E402
 from llcomp_tpu import encode as jenc  # noqa: E402
 from llcomp_tpu.core.config import REV2  # noqa: E402
 from llcomp_tpu.pallas import decode_kernel as dk  # noqa: E402
