@@ -168,13 +168,13 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
                                  seed=tab)
         return container.pack_sliced(
             streams, W, H, C, slice_h, cfg,
-            flags=container.FLAG_SEEDED,
+            flags=container.FLAG_SEEDED | container.FLAG_CRC,
             seed_blob=seedmod.pack_blob(tab),
         )
     streams = encode_stripes(img, bounds, cfg, primed, backend=backend)
     return container.pack_sliced(
         streams, W, H, C, slice_h, cfg,
-        flags=container.FLAG_PRIMED if primed else 0,
+        flags=(container.FLAG_PRIMED if primed else 0) | container.FLAG_CRC,
     )
 
 
@@ -238,9 +238,18 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax",
             from . import seed as seedmod
 
             tab = seedmod.unpack_blob(seed_blob)
+        # authoritative integrity check (flag bit 2): decode-side guards
+        # cannot catch all corruption (an arithmetic stream decodes most
+        # byte soups to *some* pixels) — crc failures are known before
+        # any decoding and those slices are skipped, not decoded
+        badcrc = container.verify_slices(data, cfg) or []
+        if badcrc and strict:
+            raise ValueError(f"corrupt stream in slices {badcrc} "
+                             "(crc mismatch)")
         return decode_stripes(streams, bounds, W, C, cfg,
                               primed=bool(flags & container.FLAG_PRIMED),
-                              backend=backend, strict=strict, seed=tab)
+                              backend=backend, strict=strict, seed=tab,
+                              skip=badcrc)
 
     if data[:1] == b"\x77":  # legacy revision-0 stream (llcomp.js)
         from . import rev0
@@ -272,22 +281,28 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax",
 
 def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2,
                    primed: bool = False, backend: str = "jax",
-                   strict: bool = True, seed=None):
+                   strict: bool = True, seed=None, skip=()):
     """Decode a sliced container's stripes into one image.
 
     strict=False returns ``(img, bad_slices)`` instead of raising on a
     corrupt slice: the flagged stripes' rows are undefined, every other
     stripe is exact (per-slice stream independence, SURVEY §5; the repair
-    primitive is ``reencode_slice``).
+    primitive is ``reencode_slice``).  ``skip``: slice indices already
+    known corrupt (crc mismatches) — zero-filled and reported without
+    decoding.
     """
     from . import decode
 
     H = bounds[-1][1]
     out = np.empty((H, W, C), dtype=np.uint8)
-    bad_slices: list[int] = []
+    bad_slices: list[int] = list(skip)
+    for i in bad_slices:
+        y0, y1 = bounds[i]
+        out[y0:y1] = 0
     by_shape: dict[int, list[int]] = {}
     for i, (y0, y1) in enumerate(bounds):
-        by_shape.setdefault(y1 - y0, []).append(i)
+        if i not in bad_slices:
+            by_shape.setdefault(y1 - y0, []).append(i)
     for rows, idxs in by_shape.items():
         if backend == "native":
             from . import host

@@ -20,7 +20,8 @@ Two on-disk formats:
       7   1   flags (bit 0: model primed with tables.PRIOR_TAB[h % 121];
                      bit 1: per-image stored seed — a seed section follows
                      the fixed head and context row h starts at
-                     seed[h % 121] instead; see ``seed``)
+                     seed[h % 121] instead (see ``seed``);
+                     bit 2: per-slice crc32 integrity table)
       8   4   width  u32
       12  4   height u32
       16  4   slice height u32 (last slice may be shorter)
@@ -29,6 +30,11 @@ Two on-disk formats:
       24  2   seed blob length u16
       26  ..  zlib seed blob (121x8 u8 start states; ~650 B)
       ..  4*n per-slice payload lengths u32
+      [flags bit 2 only:]
+      ..  4*n per-slice crc32 u32 (arithmetic streams accept most byte
+          soups as *some* symbol sequence, so decode-side guards cannot
+          catch all corruption; the crc makes detection exact for ~0.1%
+          size and powers strict=False / reencode_slice repair)
       ..      concatenated slice payloads, in image order
 
   Slice payloads are gathered in file order, so a sliced file is a pure
@@ -38,6 +44,7 @@ Two on-disk formats:
 from __future__ import annotations
 
 import struct
+import zlib
 
 
 from .core.config import REV2, CodecConfig
@@ -46,6 +53,7 @@ MAGIC_SLICED = b"LLCT"
 CONTAINER_VERSION = 1
 FLAG_PRIMED = 1  # context row h starts at tables.PRIOR_TAB[h % 121]
 FLAG_SEEDED = 2  # context row h starts at the stored seed[h % 121]
+FLAG_CRC = 4     # per-slice crc32 table follows the length index
 
 
 def pack_single(stream: bytes, width: int, height: int, channels: int,
@@ -78,6 +86,10 @@ def pack_sliced(streams: list[bytes], width: int, height: int, channels: int,
     if seed_blob is not None:
         head += struct.pack("<H", len(seed_blob)) + seed_blob
     index = struct.pack(f"<{len(streams)}I", *(len(s) for s in streams))
+    if flags & FLAG_CRC:
+        index += struct.pack(
+            f"<{len(streams)}I", *(zlib.crc32(s) for s in streams)
+        )
     return head + index + b"".join(streams)
 
 
@@ -95,7 +107,7 @@ def unpack_sliced(data: bytes, cfg: CodecConfig = REV2):
         raise ValueError(f"unsupported container version {ver}")
     if rev != cfg.revision:
         raise ValueError(f"unsupported codec revision {rev}")
-    if flags & ~(FLAG_PRIMED | FLAG_SEEDED):
+    if flags & ~(FLAG_PRIMED | FLAG_SEEDED | FLAG_CRC):
         raise ValueError(f"unsupported container flags {flags:#x}")
     off = 24
     seed_blob = None
@@ -106,11 +118,44 @@ def unpack_sliced(data: bytes, cfg: CodecConfig = REV2):
         off += blen
     lengths = struct.unpack_from(f"<{n}I", data, off)
     off += 4 * n
+    if flags & FLAG_CRC:
+        off += 4 * n  # crc table; validate via verify_slices
     streams = []
     for ln in lengths:
         streams.append(data[off : off + ln])
         off += ln
     return streams, width, height, channels, slice_h, flags, seed_blob
+
+
+def verify_slices(data: bytes, cfg: CodecConfig = REV2) -> list[int] | None:
+    """Check the per-slice crc32 table (flag bit 2) -> list of corrupt
+    slice indices, or None when the container carries no crc table.
+
+    Decode-side guards (e>31 / unterminated symbols) cannot catch all
+    corruption — an arithmetic stream decodes most byte soups to *some*
+    pixels — so this is the authoritative integrity check, and it runs
+    on the host for every backend."""
+    if data[:4] != MAGIC_SLICED:
+        raise ValueError("Invalid magic number")
+    _ver, _rev, _ch, flags, _w, _h, _sh, n = struct.unpack_from(
+        "<BBBBIIII", data, 4
+    )
+    if not flags & FLAG_CRC:
+        return None
+    off = 24
+    if flags & FLAG_SEEDED:
+        (blen,) = struct.unpack_from("<H", data, off)
+        off += 2 + blen
+    lengths = struct.unpack_from(f"<{n}I", data, off)
+    off += 4 * n
+    crcs = struct.unpack_from(f"<{n}I", data, off)
+    off += 4 * n
+    bad = []
+    for i, (ln, crc) in enumerate(zip(lengths, crcs)):
+        if zlib.crc32(data[off : off + ln]) != crc:
+            bad.append(i)
+        off += ln
+    return bad
 
 
 def slice_bounds(height: int, slice_h: int) -> list[tuple[int, int]]:

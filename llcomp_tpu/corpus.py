@@ -180,7 +180,8 @@ def compress_corpus(
         blob = container.pack_sliced(
             per_image[idx], W, H, C, slice_h, cfg,
             flags=(container.FLAG_SEEDED if seeded
-                   else (container.FLAG_PRIMED if primed else 0)),
+                   else (container.FLAG_PRIMED if primed else 0))
+            | container.FLAG_CRC,
             seed_blob=seed_blob,
         )
         blobs.append(blob)

@@ -154,7 +154,8 @@ def compress_sharded(
     return container.pack_sliced(
         out, W, H, C, slice_h, cfg,
         flags=(container.FLAG_SEEDED if seed_tab is not None
-               else (container.FLAG_PRIMED if primed else 0)),
+               else (container.FLAG_PRIMED if primed else 0))
+        | container.FLAG_CRC,
         seed_blob=seed_blob,
     )
 

@@ -39,7 +39,8 @@ def test_sliced_streams_are_independent_reference_streams():
     img = make_photo(24, 16)
     blob = llcomp_tpu.compress(img, slices=3, primed=False)
     streams, W, H, C, slice_h, flags, _seed = container.unpack_sliced(blob)
-    assert (W, H, C, slice_h, len(streams), flags) == (16, 24, 3, 8, 3, 0)
+    assert (W, H, C, slice_h, len(streams)) == (16, 24, 3, 8, 3)
+    assert flags == container.FLAG_CRC  # integrity table on by default
     for i, s in enumerate(streams):
         stripe = img[i * 8 : (i + 1) * 8]
         assert s == oracle.encode(stripe)[6:]
@@ -315,6 +316,9 @@ def test_primed_container_golden_bytes():
     (tables.PRIOR_TAB): any engine or table drift changes these bytes.
     Recorded from the XLA engine and cross-checked against the oracle
     (test_sliced_primed_streams_match_primed_oracle covers engine equality).
+    Re-pinned in round 3 when the per-slice crc32 table (flag bit 2,
+    FORMAT.md) was added to the container — the four STREAM payloads are
+    byte-identical to the round-2 golden; only the index grew.
     """
     import hashlib
 
@@ -329,7 +333,7 @@ def test_primed_container_golden_bytes():
     img[..., 2] += 5
     img = np.ascontiguousarray(img)
     blob = llcomp_tpu.compress(img, slices=4, primed=True)
-    assert len(blob) == 996
+    assert len(blob) == 1012
     assert (
         hashlib.sha256(blob).hexdigest()
         == hashlib.sha256(bytes.fromhex(PRIMED_GOLDEN_HEX)).hexdigest()
@@ -339,35 +343,74 @@ def test_primed_container_golden_bytes():
 
 
 PRIMED_GOLDEN_HEX = (
-    "4c4c43540102030130000000200000000800000004000000ef000000ee000000ee"
-    "000000f100000095653bb5d19648b35ee9165a7a3da75e6e9268709877c005ff79"
-    "a8adc10e63f66c09994fcc7733d6fb02e6bff10d4239e1acc70811bebfdff58c83"
-    "2888827bb456d95e5832f43c7c989d623601a985cf78f4a35a8916252bef63aaa8"
-    "5cbc763787fde9f1b1a599039c115b33ed7fdac94d5e9a78d02f6b792a51330b43"
-    "7b55baf3bae0fce722eca6ed89cc8c52a5834fd08afc302e84ad27774b511388a8"
-    "ea54a8ce87132e7bea7a6409464067bb2ffdf8549248ae3a57a6678ff1e07cc6b1"
-    "f3e0614e7559cacc5478a50899841dbb9dc0b1a156ee68e0153ca42214b7a18035"
-    "28370a576fc0c597c5c6e31fb7c91495653bbeb0e2239881eafa46f48fb4946821"
-    "82edc9e25867116a37871ca7795963c131e07fbe430699514d38584cd4811df7a8"
-    "ebb4e43ddc2ca1686c443c46b0f500f99773bb1faedc3566b5aca0acdb28c05869"
-    "86195a919b745578fad10bc796c441ed5958f7e6d68b1e6efb3c10a446e6bba221"
-    "cabf3e165c6a2c3aa2127d00f94114e665d181fc4aee62751e8aed66bf780c1f4d"
-    "3635d1649c0c202bcff5bcd21c52dcb564dba4d68f6bf0f7d6f618db75a4e28a3f"
-    "f3a0666e5d709b9cf38d8423d0f6c89a7ef44c7af06fd9352ee5f7d27b207dcb3e"
-    "dda1be61c7c874ae05fb898bb9bebe2e6725e8fcc73095653bc66328ed6ba1413c"
-    "8d265a79b923e371c0c1dd59b0040f9bdf527079128880b6e027638bb3b57dfdbd"
-    "255b4993508d322baa929bc1f8b0d0b633f3e32168530ebc940abdb489cbf22277"
-    "ba62b614703f21fcf7ca72643d19e352e7234e577a8c1e067f0dec5ee07451cf6e"
-    "c8a98487be22c3252023b1fa936fdf3b1a684641c05a02f23a1b9c0bd313dc89df"
-    "16182691d39003fe4824acb756bbcb4bb668023a7b8fbe8d88b7f5d517ebf818c4"
-    "0ebfc8726b8bdc6f0fe7de3eca73054b12dcef347770f6a74907f5af862c3916cd"
-    "7f4c25bf699743a773a883f82d9ec84ef0979fb63016ed06ccba3f65f295653bb7"
-    "887f7a7600a7e2231d83914662dc0b65b407295c82992384ac62e7bb37971d9379"
-    "72ba2ed95b3928a81419efcbedd44ea3cf6fe420594ea1daff7b3ce858cafb7dde"
-    "6de0e956a7ce974a5506606bba0d4fc5fc41d097b05bca5d202bcd4a67769bc33a"
-    "23fc1ffba5dce8912927ee84d45adca80f20c8cfed92bf8488c065973b4d5e6ba9"
-    "769ddbacb10bb4478ce2bd859f7511732176fd6ca3d418eac82457faeb873c8ac4"
-    "ad27feee19313259270723c8eb4d7f5a651751962fac6bef45e4fff56e71a2ab4c"
-    "9de471b738c28a02a129b4954e224cf73be3b9d33213b17544583289eac750ccec"
-    "3621f7c2f1a3"
+    "4c4c43540102030530000000200000000800000004000000ef000000ee000000ee"
+    "000000f100000069155fa413e1336dd38114fad2bfc7c795653bb5d19648b35ee9"
+    "165a7a3da75e6e9268709877c005ff79a8adc10e63f66c09994fcc7733d6fb02e6"
+    "bff10d4239e1acc70811bebfdff58c832888827bb456d95e5832f43c7c989d6236"
+    "01a985cf78f4a35a8916252bef63aaa85cbc763787fde9f1b1a599039c115b33ed"
+    "7fdac94d5e9a78d02f6b792a51330b437b55baf3bae0fce722eca6ed89cc8c52a5"
+    "834fd08afc302e84ad27774b511388a8ea54a8ce87132e7bea7a6409464067bb2f"
+    "fdf8549248ae3a57a6678ff1e07cc6b1f3e0614e7559cacc5478a50899841dbb9d"
+    "c0b1a156ee68e0153ca42214b7a1803528370a576fc0c597c5c6e31fb7c9149565"
+    "3bbeb0e2239881eafa46f48fb494682182edc9e25867116a37871ca7795963c131"
+    "e07fbe430699514d38584cd4811df7a8ebb4e43ddc2ca1686c443c46b0f500f997"
+    "73bb1faedc3566b5aca0acdb28c0586986195a919b745578fad10bc796c441ed59"
+    "58f7e6d68b1e6efb3c10a446e6bba221cabf3e165c6a2c3aa2127d00f94114e665"
+    "d181fc4aee62751e8aed66bf780c1f4d3635d1649c0c202bcff5bcd21c52dcb564"
+    "dba4d68f6bf0f7d6f618db75a4e28a3ff3a0666e5d709b9cf38d8423d0f6c89a7e"
+    "f44c7af06fd9352ee5f7d27b207dcb3edda1be61c7c874ae05fb898bb9bebe2e67"
+    "25e8fcc73095653bc66328ed6ba1413c8d265a79b923e371c0c1dd59b0040f9bdf"
+    "527079128880b6e027638bb3b57dfdbd255b4993508d322baa929bc1f8b0d0b633"
+    "f3e32168530ebc940abdb489cbf22277ba62b614703f21fcf7ca72643d19e352e7"
+    "234e577a8c1e067f0dec5ee07451cf6ec8a98487be22c3252023b1fa936fdf3b1a"
+    "684641c05a02f23a1b9c0bd313dc89df16182691d39003fe4824acb756bbcb4bb6"
+    "68023a7b8fbe8d88b7f5d517ebf818c40ebfc8726b8bdc6f0fe7de3eca73054b12"
+    "dcef347770f6a74907f5af862c3916cd7f4c25bf699743a773a883f82d9ec84ef0"
+    "979fb63016ed06ccba3f65f295653bb7887f7a7600a7e2231d83914662dc0b65b4"
+    "07295c82992384ac62e7bb37971d937972ba2ed95b3928a81419efcbedd44ea3cf"
+    "6fe420594ea1daff7b3ce858cafb7dde6de0e956a7ce974a5506606bba0d4fc5fc"
+    "41d097b05bca5d202bcd4a67769bc33a23fc1ffba5dce8912927ee84d45adca80f"
+    "20c8cfed92bf8488c065973b4d5e6ba9769ddbacb10bb4478ce2bd859f75117321"
+    "76fd6ca3d418eac82457faeb873c8ac4ad27feee19313259270723c8eb4d7f5a65"
+    "1751962fac6bef45e4fff56e71a2ab4c9de471b738c28a02a129b4954e224cf73b"
+    "e3b9d33213b17544583289eac750ccec3621f7c2f1a3"
 )
+
+
+def test_crc_detects_silent_corruption():
+    """Decode-side guards cannot catch all corruption (arithmetic streams
+    decode most byte soups to *some* pixels); the per-slice crc32 table
+    (flag bit 2, on by default) makes detection exact and drives
+    strict/non-strict behavior without decoding the bad slice."""
+    img = make_photo(32, 16, seed=21)
+    blob = llcomp_tpu.compress(img, slices=4)
+    streams, W, H, C, slice_h, flags, _seed = container.unpack_sliced(blob)
+    assert flags & container.FLAG_CRC
+    assert container.verify_slices(blob) == []
+    # zero slice 1's payload bytes IN the container
+    off = 24 + 8 * len(streams) + sum(len(s) for s in streams[:1])
+    broken = bytearray(blob)
+    broken[off : off + len(streams[1])] = bytes(len(streams[1]))
+    broken = bytes(broken)
+    assert container.verify_slices(broken) == [1]
+    with pytest.raises(ValueError, match="crc"):
+        llcomp_tpu.decompress(broken)
+    out, bad = llcomp_tpu.decompress(broken, strict=False)
+    assert bad == [1]
+    bounds = container.slice_bounds(H, slice_h)
+    for i, (y0, y1) in enumerate(bounds):
+        if i != 1:
+            np.testing.assert_array_equal(out[y0:y1], img[y0:y1])
+    healed = api.reencode_slice(broken, 1, img[bounds[1][0]:bounds[1][1]])
+    assert healed == blob  # crc recomputed on splice -> exact original
+
+
+def test_crc_optional_containers_still_decode():
+    """Containers without the crc flag (older files) decode unchanged."""
+    img = make_photo(16, 16, seed=5)
+    from llcomp_tpu import api as _api
+
+    streams = _api.encode_stripes(img, container.slice_bounds(16, 8))
+    blob = container.pack_sliced(streams, 16, 16, 3, 8, flags=0)
+    assert container.verify_slices(blob) is None
+    np.testing.assert_array_equal(llcomp_tpu.decompress(blob), img)
