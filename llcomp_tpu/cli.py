@@ -79,14 +79,25 @@ def _cmd_decompress(args) -> int:
 def _cmd_info(args) -> int:
     data = pathlib.Path(args.input).read_bytes()
     if container.is_sliced(data):
-        streams, w, h, c, slice_h, flags, _seed = container.unpack_sliced(data)
-        primed = " primed" if flags & container.FLAG_PRIMED else ""
-        print(f"sliced container v{container.CONTAINER_VERSION} (rev 2{primed})")
+        streams, w, h, c, slice_h, flags, seed = container.unpack_sliced(data)
+        mode = ""
+        if flags & container.FLAG_PRIMED:
+            mode += " primed"
+        if flags & container.FLAG_SEEDED:
+            mode += f" seeded({len(seed)}B)"
+        if flags & container.FLAG_CRC:
+            mode += " crc"
+        print(f"sliced container v{container.CONTAINER_VERSION} (rev 2{mode})")
         print(f"  {w}x{h}x{c}, {len(streams)} slices of {slice_h} rows")
         print(f"  payload {sum(len(s) for s in streams)} bytes, "
               f"{8 * len(data) / (w * h):.3f} bpp")
         lens = [len(s) for s in streams]
         print(f"  slice bytes: min {min(lens)}, max {max(lens)}")
+        bad = container.verify_slices(data)
+        if bad:
+            print(f"  CORRUPT slices (crc mismatch): {bad}")
+        elif bad == []:
+            print("  integrity: all slice crcs OK")
     elif data[:1] == b"\x77":
         c, w, h = data[1], data[2] | (data[3] << 8), data[4] | (data[5] << 8)
         print("single stream (legacy revision 0, llcomp.js format)")
