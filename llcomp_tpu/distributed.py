@@ -117,7 +117,7 @@ def compress_image_pod(img: np.ndarray, slice_h: int = 8,
     streams = _allgather_streams(ordered_local, n, lo)
     return container.pack_sliced(
         streams, W, H, C, slice_h, cfg,
-        flags=container.FLAG_PRIMED if primed else 0,
+        flags=(container.FLAG_PRIMED if primed else 0) | container.FLAG_CRC,
     )
 
 
