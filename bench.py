@@ -314,12 +314,14 @@ def main() -> int:
             for round_ in range(2):
                 fbds = [fresh_batch(900 + round_ * 20 + r)
                         for r in range(reps)]
-                stds = (jenc.encode_lanes_pipelined(
-                            fbds, primed=primed, seed=seed_tab)
-                        if engine == "pallas"
-                        else [jenc.encode_lanes(f, engine=engine,
-                                                primed=primed, seed=seed_tab)
-                              for f in fbds])
+                stds = _retry_blip(
+                    lambda: (jenc.encode_lanes_pipelined(
+                                 fbds, primed=primed, seed=seed_tab)
+                             if engine == "pallas"
+                             else [jenc.encode_lanes(f, engine=engine,
+                                                     primed=primed,
+                                                     seed=seed_tab)
+                                   for f in fbds]))
                 allstreams = [s for st in stds for s in st]
                 t0 = time.time()
                 outd = _retry_blip(
@@ -577,4 +579,11 @@ if __name__ == "__main__":
         _h, _c, _n, _sh = (int(v) for v in sys.argv[2:6])
         print(json.dumps(_run_config(_h, _c, _n, _sh, sys.argv[6] == "1")))
         sys.exit(0)
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as _e:  # always emit ONE parseable JSON line
+        print(json.dumps({
+            "metric": "encode_mps_512", "value": 0.0, "unit": "MP/s",
+            "vs_baseline": 0.0, "error": str(_e)[:300],
+        }))
+        sys.exit(1)
