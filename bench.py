@@ -373,7 +373,10 @@ def main() -> int:
     # caps the blast radius at one config.
     if os.environ.get("BENCH_EXTRA", "1") != "0" and CH == 3 and H == 512:
         extras = {}
-        for (eh, ec, n_img) in ((2048, 3, 2), (256, 4, 16)):
+        # image counts fill whole 1024-lane kernel groups: 256x256x4 at
+        # 8-row stripes has 32 stripes/image, so 16 images = half a group
+        # padded to full (measured ~2x encode loss vs a filled group)
+        for (eh, ec, n_img) in ((2048, 3, 2), (256, 4, 32)):
             extras[f"{eh}x{eh}x{ec}"] = _run_config_subprocess(
                 eh, ec, n_img, slice_h, primed)
         result["extra_configs"] = extras
