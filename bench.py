@@ -177,10 +177,12 @@ def main() -> int:
         lanes = fb  # for the round-trip gate below
         enc_single_s = min(times)
         # sustained: several fresh batches with cross-batch overlap
-        # (best of two rounds: run-to-run variance on this chip is ~20%)
+        # (best of three rounds: run-to-run tunnel variance is ~20-50%,
+        # and the driver takes ONE capture)
         nb = int(os.environ.get("BENCH_PIPELINE_BATCHES", "4"))
         sustained = 0.0
-        for round_ in range(2):
+        for round_ in range(int(os.environ.get("BENCH_SUSTAINED_ROUNDS",
+                                               "3"))):
             fresh = [fresh_batch(100 + round_ * 40 + j) for j in range(nb)]
             t0 = time.time()
             jenc.encode_lanes_pipelined(fresh, primed=primed, seed=seed_tab)
@@ -307,11 +309,12 @@ def main() -> int:
             # so later kernels overlap earlier image downloads (this dev
             # tunnel moves decoded pixels at ~15 MB/s; overlap is the only
             # way e2e approaches kernel throughput)
-            # best of two rounds, like the encode sustained number:
+            # best of three rounds, like the encode sustained number:
             # run-to-run tunnel variance is ~20-50% and a single sample
             # under-reported decode by 2.4x in the r02 driver capture
             dec_warm = float("inf")
-            for round_ in range(2):
+            for round_ in range(int(os.environ.get("BENCH_DECODE_ROUNDS",
+                                                   "3"))):
                 fbds = [fresh_batch(900 + round_ * 20 + r)
                         for r in range(reps)]
                 stds = _retry_blip(
