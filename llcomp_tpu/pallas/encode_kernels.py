@@ -28,6 +28,7 @@ lazy carry resolution `llcomp.hpp:38-58`, adaptive state update
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -277,7 +278,10 @@ def _make_symwalk_kernel(K: int, primed: bool = False):
     return kernel
 
 
-SYMCHUNK = 32             # symbols per walk grid step
+# symbols per walk grid step; n_pad is always a multiple of 2*SCHUNK=64
+# (encode._flat_host pads to lcm(64, 128, C)), so powers of two <= 64 are
+# always legal and larger values only when n_pad allows
+SYMCHUNK = int(os.environ.get("LLCT_WALK_SYMCHUNK", "32"))
 
 
 @functools.partial(jax.jit, static_argnames=("K", "primed"))
