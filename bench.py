@@ -550,19 +550,26 @@ def _run_config(H: int, CH: int, n_images: int, slice_h: int, primed: bool):
     jdec.decode_lanes(wstreams * nb, (slice_h, W, CH), engine=dec_engine,
                       primed=primed)
     compile_s = time.time() - t0
-    fbs = [batch(1 + r) for r in range(nb)]
-    t0 = time.time()
-    stds = (jenc.encode_lanes_pipelined(fbs, primed=primed)
-            if engine == "pallas"
-            else [jenc.encode_lanes(f, engine=engine, primed=primed)
-                  for f in fbs])
-    enc_s = time.time() - t0
-    fb = np.concatenate(fbs)
-    streams = [s for st in stds for s in st]
-    t0 = time.time()
-    out = jdec.decode_lanes(streams, (slice_h, W, CH), engine=dec_engine,
-                            primed=primed)
-    dec_s = time.time() - t0
+    # best of two rounds, like the headline: a single sample varied up to
+    # 1.7x with worker health across the round-3 captures
+    enc_s = dec_s = float("inf")
+    exact = True
+    streams = []
+    for round_ in range(int(os.environ.get("BENCH_CONFIG_ROUNDS", "2"))):
+        fbs = [batch(1 + round_ * 10 + r) for r in range(nb)]
+        t0 = time.time()
+        stds = (jenc.encode_lanes_pipelined(fbs, primed=primed)
+                if engine == "pallas"
+                else [jenc.encode_lanes(f, engine=engine, primed=primed)
+                      for f in fbs])
+        enc_s = min(enc_s, time.time() - t0)
+        fb = np.concatenate(fbs)
+        streams = [s for st in stds for s in st]
+        t0 = time.time()
+        out = jdec.decode_lanes(streams, (slice_h, W, CH), engine=dec_engine,
+                                primed=primed)
+        dec_s = min(dec_s, time.time() - t0)
+        exact = exact and bool(np.array_equal(out, fb))
     enc_base = {(2048, 3): 3.8, (1024, 3): 4.1, (256, 4): 2.5}.get((H, CH), 4.0)
     dec_base = {(2048, 3): 3.1, (1024, 3): 3.4, (256, 4): 2.3}.get((H, CH), 3.5)
     return {
@@ -573,7 +580,7 @@ def _run_config(H: int, CH: int, n_images: int, slice_h: int, primed: bool):
         "compression_ratio": round(
             nb * n_images * H * W * CH / sum(len(s) for s in streams), 3
         ),
-        "roundtrip_exact": bool(np.array_equal(out, fb)),
+        "roundtrip_exact": exact,
         "images": nb * n_images,
         "slice_h": slice_h,
         "compile_s": round(compile_s, 1),
