@@ -135,6 +135,15 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
         raise ValueError(f"unsupported revision {revision}")
 
     if slices in (None, 1):
+        if primed or seeded:
+            # the prior/seed are properties of the *sliced* container
+            # (flag bits 0/1); a single reference-compatible stream has
+            # no flag byte to record them, so honoring the request is
+            # impossible — fail loudly instead of silently dropping it
+            raise ValueError(
+                "primed/seeded apply to sliced mode only; "
+                "pass slices='auto' or an int >= 2"
+            )
         if backend == "oracle":
             from . import oracle
 

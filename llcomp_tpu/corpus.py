@@ -137,7 +137,8 @@ def compress_corpus(
         from . import parallel
 
         all_streams = [
-            parallel.encode_lanes_sharded(lanes, mesh, cfg, primed)
+            parallel.encode_lanes_sharded(lanes, mesh, cfg, primed,
+                                          seed=seed_tab)
             for _, lanes in chunks
         ]
     elif api._resolve_backend(backend) == "native":
@@ -224,11 +225,12 @@ def decompress_corpus(
             seed_tab = seedmod.unpack_blob(seed_blob)
         for start in range(0, len(members), max_lanes_per_batch):
             chunk = members[start : start + max_lanes_per_batch]
-            if mesh is not None and seed_tab is None:
+            if mesh is not None:
                 from . import parallel
 
                 lanes = parallel.decode_lanes_sharded(
-                    [m[2] for m in chunk], (rows, W, C), mesh, cfg, primed
+                    [m[2] for m in chunk], (rows, W, C), mesh, cfg, primed,
+                    seed=seed_tab,
                 )
             elif native:
                 from . import host

@@ -915,7 +915,13 @@ def _pick_nsub(G: int, cap: int, stride: int = 1536) -> int:
     (sublane packing: ~1.55x per doubling, r02 ablation)."""
     env = os.environ.get("LLCT_DECODE_NSUB")
     if env:
-        return max(1, min(8, int(env), G))
+        n = max(1, min(8, int(env), G))
+        # non-power-of-two NSUB compiles fine and then mis-executes or
+        # kills the worker (docs/DESIGN.md hazards); only the probe tools
+        # may bypass the rounding, via an explicit second flag
+        if os.environ.get("LLCT_DECODE_NSUB_UNSAFE") == "1":
+            return n
+        return 1 << (n.bit_length() - 1)
     n = max(1, min(8, VMEM_BUDGET // _group_vmem(cap, stride), G))
     return 1 << (n.bit_length() - 1)   # round down to a power of two
 
@@ -929,6 +935,12 @@ def fits_pallas_decode(cap: int, stride: int) -> bool:
 
 def _decode_groups_impl(data, H, W, C, cfg, ablate, primed=False,
                         seed=None):
+    # A stored seed (container flag bit 1) rides the primed-mode operand
+    # paths with values swapped, so the kernel must be BUILT primed even
+    # when the container doesn't set FLAG_PRIMED — mirroring
+    # encode._launch_stage_rest's `primed or seed is not None`.  Without
+    # this the kernel zero-fills the model and ignores the seed operands.
+    primed = primed or seed is not None
     G, cap = data.shape[0], data.shape[1]
     n_sym = H * W * C
     n_chunks = -(-n_sym // SYMCHUNK)

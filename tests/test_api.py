@@ -224,6 +224,19 @@ def test_seeded_reencode_slice_heals():
     assert healed == blob
 
 
+def test_single_stream_rejects_primed_and_seeded():
+    """primed/seeded are sliced-container flag bits; a single stream has
+    nowhere to record them, so an explicit request must fail loudly
+    (ADVICE r03: it used to be silently dropped)."""
+    img = make_photo(8, 8)
+    with pytest.raises(ValueError, match="sliced"):
+        llcomp_tpu.compress(img, seeded=True)
+    with pytest.raises(ValueError, match="sliced"):
+        llcomp_tpu.compress(img, slices=1, primed=True)
+    # auto (None) stays fine for single-stream
+    llcomp_tpu.compress(img)
+
+
 def test_seeded_auto_policy():
     """Auto: small images stay unseeded; large photo-like images seed."""
     small = llcomp_tpu.compress(make_photo(32, 16), slices=4)

@@ -104,6 +104,44 @@ def test_blocked_kernel_primed_multigroup(monkeypatch):
     np.testing.assert_array_equal(out[129], b)
 
 
+def test_blocked_kernel_seeded_unprimed(monkeypatch):
+    """Round-4 regression (ADVICE r03 high): seeded containers do NOT set
+    FLAG_PRIMED, so api.decompress calls the decode engines with
+    primed=False + seed.  The blocked Pallas kernel must still build its
+    model init from the seed operands (primed promotion inside
+    _decode_groups_impl) — before the fix it zero-filled the model and
+    produced wrong pixels on TPU while every CPU engine passed."""
+    from llcomp_tpu import decode as jdec, seed as seedmod
+
+    monkeypatch.setenv("LLCT_DECODE_FORCE_BLOCKED", "1")
+    img = make_photo(16, 8, seed=13)
+    tab = seedmod.derive(img)
+    stripes = [img[:8], img[8:]]
+    streams = [oracle.encode_planes(oracle.rct_forward(s), seed=tab)
+               for s in stripes]
+    out = jdec.decode_lanes(streams, (8, 8, 3), engine="pallas",
+                            primed=False, seed=tab)
+    np.testing.assert_array_equal(out[0], stripes[0])
+    np.testing.assert_array_equal(out[1], stripes[1])
+
+
+def test_decode_nsub_env_rounded_to_pow2(monkeypatch):
+    """LLCT_DECODE_NSUB=5/6 mis-execute on hardware (r02 worker kill);
+    the override must round down to a power of two unless the explicit
+    unsafe probe flag is also set."""
+    from llcomp_tpu.pallas import decode_kernel as dk
+
+    monkeypatch.setenv("LLCT_DECODE_NSUB", "5")
+    assert dk._pick_nsub(8, 4096, 24) == 4
+    monkeypatch.setenv("LLCT_DECODE_NSUB", "6")
+    assert dk._pick_nsub(8, 4096, 24) == 4
+    monkeypatch.setenv("LLCT_DECODE_NSUB", "8")
+    assert dk._pick_nsub(8, 4096, 24) == 8
+    monkeypatch.setenv("LLCT_DECODE_NSUB", "5")
+    monkeypatch.setenv("LLCT_DECODE_NSUB_UNSAFE", "1")
+    assert dk._pick_nsub(8, 4096, 24) == 5
+
+
 def test_device_expansion_matches_host():
     """expand_slots_on_device == expand_slots_batch on random slot records."""
     import jax.numpy as jnp

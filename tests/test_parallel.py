@@ -58,6 +58,26 @@ def test_mesh_sizes(mesh8):
     assert len({b for b in blobs.values()}) == 1
 
 
+def test_corpus_explicit_seeded_with_mesh_roundtrips(mesh8):
+    """Round-4 regression (ADVICE r03 medium): compress_corpus(seeded=True,
+    mesh=...) must encode WITH the pooled seed table (it used to encode
+    with the static prior while packing FLAG_SEEDED + the blob, silently
+    corrupting the round trip)."""
+    from llcomp_tpu import container, corpus
+    import llcomp_tpu
+
+    imgs = [make_photo(64, 32, seed=90 + i) for i in range(2)]
+    blobs, _ = corpus.compress_corpus(imgs, slice_h=8, mesh=mesh8,
+                                      seeded=True)
+    for blob, img in zip(blobs, imgs):
+        assert container.unpack_sliced(blob)[5] & container.FLAG_SEEDED
+        np.testing.assert_array_equal(llcomp_tpu.decompress(blob), img)
+    # and the mesh decode path agrees with the stored table
+    outs = corpus.decompress_corpus(blobs, mesh=mesh8)
+    for out, img in zip(outs, imgs):
+        np.testing.assert_array_equal(out, img)
+
+
 def test_sharded_seeded_container_roundtrip(mesh8):
     """Seeded containers (flag bit 1) now flow through the sharded path:
     compress_sharded auto-seeds large photo images and decompress_sharded
