@@ -191,6 +191,43 @@ def expand_kp_grouped(kp: jnp.ndarray, kp_fin: jnp.ndarray, outcap: int):
 
 
 
+def expand_markers(mk: jnp.ndarray, outcap: int):
+    """Compact byte markers -> byte buffers (fused-kernel post-pass).
+
+    mk [A, N, M, 128] i32: ``off<<9 | carry<<8 | head`` per emitted byte,
+    offsets strictly ascending per lane, DEAD (0x7FFFFFFF) tails — the
+    fused encode kernel's marker buffer (pallas/encode_fused.py).  Same
+    sandwich-sort + cummax forward-fill as ``expand_kp_grouped``, but the
+    input is ALREADY compact per lane: the sort runs over M + outcap ≈
+    2 x compressed size elements instead of the old chain's ~n_decisions.
+    Returns bytes [A, N, outcap, 128] u8.
+    """
+    BIG = jnp.int32(0x7FFFFFFF)
+    A, N, M = mk.shape[0], mk.shape[1], mk.shape[2]
+    live = mk != BIG
+    k_slots = jnp.where(live, ((mk >> 9) << 10) | (mk & 0x1FF), BIG)
+    probe = (
+        jax.lax.broadcasted_iota(jnp.int32, (A, N, outcap, 128), 2) * 2 + 1
+    ) << 9
+    keys = jnp.concatenate([k_slots, probe], axis=2)
+    (sk,) = jax.lax.sort((keys,), dimension=2, num_keys=1)
+    sk = sk[:, :, : 2 * outcap]
+
+    is_probe = ((sk >> 9) & 1) == 1
+    sv = jnp.where(
+        is_probe | (sk == BIG), 0, (((sk >> 10) + 1) << 9) | (sk & 0x1FF)
+    )
+    sv = jax.lax.cummax(sv, axis=2)
+    pp = sk >> 10
+    f_off = (sv >> 9) - 1
+    f_head = sv & 0xFF
+    f_fill = jnp.where((sv & 0x100) != 0, 0, 0xFF)
+    byte = jnp.where(f_off == pp, f_head, f_fill)
+    kb = jnp.where(is_probe, (pp << 8) | byte, BIG)
+    (kb,) = jax.lax.sort((kb,), dimension=2, num_keys=1)
+    return (kb[:, :, :outcap] & 0xFF).astype(jnp.uint8)
+
+
 # --------------------------------------------------------------------------
 # Device-side slot expansion (lane-major variant)
 # --------------------------------------------------------------------------

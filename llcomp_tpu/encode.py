@@ -663,6 +663,93 @@ _pipeline_modelscan = jax.jit(
 )
 
 
+# --- Fused stream-order engine (round 4) -----------------------------------
+# One Pallas kernel holds the model + range coder in VMEM and emits compact
+# byte markers per lane (pallas/encode_fused.py) — no context sorts, no
+# walk, no compact sort; the post-pass is a small sandwich expansion over
+# ~2x the compressed size.  Bytes are engine-identical to every other path.
+
+
+class FusedOverflow(RuntimeError):
+    """A lane emitted more bytes than the marker buffer holds (only
+    incompressible/adversarial content); the caller re-encodes through
+    the sort chain."""
+
+
+@functools.partial(jax.jit, static_argnames=("nsub",))
+def _regroup_device_nsub(flat: jnp.ndarray, nsub: int) -> jnp.ndarray:
+    """[Sp, n_pad] u8 -> fused-kernel group layout [G_out, n_pad, nsub, 128]."""
+    Sp, n_pad = flat.shape
+    return flat.reshape(Sp // (nsub * 128), nsub, 128, n_pad).transpose(
+        0, 3, 1, 2
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_sym",))
+def _stage_xs_fused(hash_g: jnp.ndarray, diff_g: jnp.ndarray, n_sym: int):
+    """Folded (hash, diff) -> the fused kernel's packed per-symbol input
+    (live<<25 | hash<<12 | diff+1274); symbol padding is dead."""
+    sym = jax.lax.broadcasted_iota(jnp.int32, (1, hash_g.shape[1], 1, 1), 1)
+    live = (sym < n_sym).astype(jnp.int32)
+    return (live << 25) | (hash_g << 12) | (diff_g + 1274)
+
+
+def _fused_launch(imgs: np.ndarray, cfg: CodecConfig = REV2,
+                  primed: bool = False, seed=None):
+    """Dispatch the fused chain; returns (mk, lens, ovf, NSUB) device arrays
+    without syncing (the pipelined path overlaps several batches)."""
+    from .pallas import encode_fused as ef
+
+    H, W, C = imgs.shape[1], imgs.shape[2], imgs.shape[3]
+    n_sym = H * W * C
+    NSUB, mcap = ef.pick_geometry(n_sym, -(-imgs.shape[0] // 128))
+    dev = profiling.timed("encode/upload", jax.device_put, _flat_host(imgs))
+    imgs_g = _regroup_device_nsub(dev, NSUB)
+    hash_g, diff_g, _counts = profiling.timed(
+        "encode/precompute", _stage_precompute_g, imgs_g, H, W, C, cfg
+    )
+    xs = _stage_xs_fused(hash_g, diff_g, n_sym)
+    mk, lens, ovf = profiling.timed(
+        "encode/fused_kernel", ef.encode_fused_groups, xs, mcap, cfg,
+        primed or seed is not None, seed,
+    )
+    return mk, lens, ovf
+
+
+def _fused_collect(mk, lens, ovf, n_sym: int):
+    """Sync lengths + overflow, expand markers at the actual cap, start
+    the D2H copy.  Returns (device bytes [G_out, NSUB, cap2, 128], lens)."""
+    lens_np = np.asarray(lens).reshape(-1)
+    if int(np.asarray(ovf).max(initial=0)):
+        raise FusedOverflow("marker buffer overflow (incompressible lane)")
+    maxlen = int(lens_np.max(initial=1))
+    outcap = _outcap(n_sym)
+    if maxlen > outcap:  # cannot happen for the rev-2 coder
+        raise AssertionError(f"stream overflow: {maxlen} > bound {outcap}")
+    cap2 = min(outcap, max(1024, -(-maxlen // 1024) * 1024))
+    byts = profiling.timed(
+        "encode/marker_expand", _expand_markers_jit, mk, cap2
+    )
+    byts.copy_to_host_async()
+    return byts, lens_np
+
+
+_expand_markers_jit = jax.jit(coder.expand_markers,
+                              static_argnames=("outcap",))
+
+
+def _encode_lanes_fused(imgs: np.ndarray, cfg: CodecConfig = REV2,
+                        primed: bool = False, seed=None) -> list[bytes]:
+    S = imgs.shape[0]
+    n_sym = int(np.prod(imgs.shape[1:]))
+    mk, lens, ovf = _fused_launch(imgs, cfg, primed, seed)
+    byts_d, lens_np = _fused_collect(mk, lens, ovf, n_sym)
+    cap2 = byts_d.shape[2]
+    byts = profiling.timed("encode/download", np.asarray, byts_d)
+    byts = byts.transpose(0, 1, 3, 2).reshape(-1, cap2)
+    return [byts[s, : lens_np[s]].tobytes() for s in range(S)]
+
+
 def _outcap(n_sym: int) -> int:
     """Per-lane compressed-size bound, bucketed (raw + raw/2 + 64)."""
     return -(-(n_sym + n_sym // 2 + 64) // 1024) * 1024
@@ -802,8 +889,23 @@ def encode_lanes(
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
     S = imgs.shape[0]
     if engine == "auto":
-        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() == "tpu":
+            engine = os.environ.get("LLCT_ENCODE_ENGINE", "fused")
+        else:
+            engine = "xla"
     n_sym_total = int(np.prod(imgs.shape[1:]))
+    if engine == "fused":
+        from .pallas import encode_fused as ef
+
+        if not ef.fits_fused(n_sym_total):
+            engine = "pallas"
+    if engine == "fused":
+        try:
+            return _encode_lanes_fused(imgs, cfg, primed=primed, seed=seed)
+        except FusedOverflow:
+            # incompressible lanes blew the marker budget: the sort chain
+            # has no such limit and emits identical bytes
+            engine = "pallas"
     if engine == "pallas" and not fits_pallas_budget(n_sym_total):
         engine = "xla"
     if engine == "pallas":

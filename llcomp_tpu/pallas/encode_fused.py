@@ -1,0 +1,552 @@
+"""Fused stream-order Pallas encode kernel (round 4).
+
+The round-1..3 encode chain is model-free: sort decisions by context, walk
+states with a 1-byte carry, sort back, code, expand — three large
+``lax.sort``s that are ~70% of the device chain (docs/DESIGN.md).  This
+kernel replaces the whole chain with the decode kernel's proven structure
+mirrored for encode: the adaptive model lives in VMEM per 128-lane group,
+symbols are processed in STREAM order (exactly the reference loop,
+`llcomp.hpp:390-449`), and the range coder emits byte markers into a
+per-lane register FIFO that flushes to a compact VMEM marker buffer.
+
+Why this beats the sort chain (and why round 3's "fused coder" rejection
+does not apply): the rejection analyzed fusing the coder INTO the sort
+chain, where kp records at K-slot granularity quadruple the byte
+expansion's sandwich sort.  Here there are NO kp records and NO sorts at
+all — the kernel writes markers already compact per lane (off<<9|carry<<8|
+head, offsets ascending), so the post-pass is one small sandwich sort of
+(markers + probes) ≈ 2*compressed_size elements instead of ~n_decisions.
+
+Structure per kernel instance (NSUB 128-lane groups in the sublane dim,
+like the blocked decode kernel):
+
+* **model**: [NSUB*NS4, 128] i32 VMEM scratch, 4 packed substates/word;
+  staged in/out per symbol through the decode kernel's merged 128-lane
+  loop with deferred write-back (double-parity SMEM slots);
+* **input**: one i32 per symbol (live<<25 | folded_hash<<12 | diff+1274),
+  precomputed in stream order by encode._stage_precompute_g — no ring, no
+  neighbor math, no byte-input staging (encode knows everything upfront);
+* **decisions**: the fixed 24-step machine fully unrolled, computing
+  (ctx, bit, valid) from the residual closed-form (same schedule as
+  pallas/encode_kernels walk kernels) and running the carry-less coder
+  (llcomp.hpp:60-73, lazy carry llcomp.hpp:38-58);
+* **byte markers**: each emit pushes (off<<9|carry<<8|head) into a
+  16-deep per-lane register FIFO via one-hot sublane selects; a scalar
+  ``jnp.max(fill) > THRESH`` check every 6 decisions flushes all lanes'
+  FIFOs to the marker buffer through one 128-lane staging loop (rare:
+  ~1 flush per ~20 symbols at photo emit rates; probed on hardware,
+  tools/probe_reduce.py);
+* **finish** (llcomp.hpp:75-81) runs in-kernel on the last grid step: two
+  forced shifts, final flush, per-lane lengths + overflow flags out.
+
+The marker buffer holds mcap = n_sym/2 + pad entries per lane — enough
+for any real content (photo ≈ 0.45*n_sym bytes); incompressible streams
+set a sticky per-lane overflow flag and the caller re-encodes the batch
+through the sort chain (bytes are engine-identical, so this is pure
+policy).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import REV2, CodecConfig
+from .decode_kernel import (
+    NS4,
+    VMEM_BUDGET,
+    _FUSED,
+    _PRIOR_HI_B,
+    _PRIOR_LO_B,
+    _use_interpret,
+    _write_model_init,
+)
+
+LANES = 128
+# symbols per grid step; n_pad from encode._flat_host is always a multiple
+# of 64, so 32/64 are safe values
+ECHUNK = int(os.environ.get("LLCT_FUSED_SYMCHUNK", "32"))
+FIFO = 16                     # marker FIFO depth per lane (register-resident)
+_CHECK_EVERY = 6              # decisions between flush checks
+_THRESH = FIFO - _CHECK_EVERY  # flush when max fill exceeds this
+DEAD = np.int32(0x7FFFFFFF)
+
+
+def _group_vmem(mcap: int) -> int:
+    """VMEM bytes per 128-lane group: model scratch + double-buffered
+    marker output block + double-buffered xs input + state/FIFO slack."""
+    return (
+        NS4 * 512                 # packed model scratch (~8.1 MB)
+        + 2 * mcap * 512          # marker output block (double-buffered)
+        + 2 * ECHUNK * 512        # xs input block (double-buffered)
+        + (FIFO + 12) * 512       # fifo save + coder state + vscr
+        + 64 * 1024               # slack
+    )
+
+
+def _round16(n: int) -> int:
+    return -(-n // 16) * 16
+
+
+def pick_geometry(n_sym: int, G: int) -> tuple[int, int]:
+    """(NSUB, mcap): markers == emitted bytes, so mcap bounds the
+    compression ratio a lane may have before the sticky overflow flag
+    forces the sort-chain fallback.  Preference order: the hard coder
+    bound (n_sym*1.5, overflow impossible) at the largest power-of-two
+    NSUB, else 0.85*n_sym (covers everything but near-incompressible
+    noise) at a larger NSUB — sublane packing is ~1.55x per NSUB
+    doubling (docs/DESIGN.md), worth more than the rare fallback.
+    Env overrides: LLCT_FUSED_MCAP, LLCT_FUSED_NSUB (probe tools)."""
+    env_m = os.environ.get("LLCT_FUSED_MCAP")
+    full = _round16(n_sym + n_sym // 2 + 80)
+    safe = _round16(max(n_sym - (n_sym >> 3) - (n_sym >> 5) + 320, 2 * FIFO))
+    if env_m:
+        full = safe = max(2 * FIFO, _round16(int(env_m)))
+    env_n = os.environ.get("LLCT_FUSED_NSUB")
+    if env_n:
+        n = max(1, min(8, int(env_n)))
+        n = 1 << (n.bit_length() - 1)
+        for mcap in (full, safe):
+            if n * _group_vmem(mcap) <= VMEM_BUDGET:
+                return n, mcap
+        return n, safe
+    best = None
+    for nsub in (8, 4, 2, 1):
+        if nsub > max(1, G):
+            continue
+        for mcap in (full, safe):
+            if nsub * _group_vmem(mcap) <= VMEM_BUDGET:
+                score = (nsub, mcap)
+                if best is None or score > best:
+                    best = score
+                break
+    return best if best is not None else (1, safe)
+
+
+def pick_mcap(n_sym: int) -> int:
+    return pick_geometry(n_sym, 8)[1]
+
+
+def fits_fused(n_sym: int) -> bool:
+    """The fused kernel has no slot budget (nothing scales with n_sym*K);
+    its limits are the marker/byte position field (2^21) and one group
+    fitting VMEM at the safe marker capacity."""
+    outcap = n_sym + n_sym // 2 + 64
+    nsub, mcap = pick_geometry(n_sym, 8)
+    return outcap < (1 << 21) and nsub * _group_vmem(mcap) <= VMEM_BUDGET
+
+
+def _make_fused_kernel(mcap: int, cfg: CodecConfig, NSUB: int,
+                       interpret: bool, primed: bool):
+    assert ECHUNK % 2 == 0 and mcap % 16 == 0
+    F = FIFO
+    TRASH = NS4 - 2          # model row pair never addressed by any hash
+
+    def kernel(xs_ref,       # [1, ECHUNK, NSUB, 128] i32
+               ftab, plo, phi,            # (8,128) operand tables
+               mk_ref,       # [mcap*NSUB, 128] i32 out (group g rows g*mcap+i)
+               fin_ref,      # [2*NSUB, 128] i32 out: rows [0,N)=len, [N,2N)=ovf
+               model_ref,    # [NSUB*NS4, 128] i32 scratch
+               st_ref,       # [10*NSUB, 128] i32: low rng pend run off fill mcnt ovf pa pb
+               fsav_ref,     # [FIFO*NSUB, 128] i32: fifo across chunks
+               vscr_ref,     # [NSUB, 128] i32: DMA source
+               sscr_ref,     # [3*NSUB, 128] i32 SMEM: parity slots + flush rows
+               dma_sem):
+        chunk = pl.program_id(1)
+        n_chunks = pl.num_programs(1)
+        N = NSUB
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 1)
+        laneF = jax.lax.broadcasted_iota(jnp.int32, (F, LANES), 1)
+        subN = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 0)
+        iotaF = jax.lax.broadcasted_iota(jnp.int32, (F, LANES), 0)
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        ftab_v = ftab[:]
+        zN = jnp.zeros((N, LANES), jnp.int32)
+
+        def lutN(tb, idx):
+            if N == 8:
+                return jnp.take_along_axis(tb, idx, axis=1)
+            idx8 = jnp.concatenate(
+                [idx, jnp.zeros((8 - N, LANES), jnp.int32)], axis=0
+            )
+            return jnp.take_along_axis(tb, idx8, axis=1)[:N]
+
+        @pl.when(chunk == 0)
+        def _init():
+            _write_model_init(model_ref, N, primed, plo[:], phi[:])
+            st_ref[:] = jnp.zeros((10 * N, LANES), jnp.int32)
+            st_ref[1 * N : 2 * N, :] = jnp.full((N, LANES), 0xFF00, jnp.int32)
+            st_ref[2 * N : 3 * N, :] = jnp.full((N, LANES), -1, jnp.int32)
+            fsav_ref[:] = jnp.zeros((F * N, LANES), jnp.int32)
+
+            def mb(i, _):
+                mk_ref[pl.ds(i * 8, 8), :] = jnp.full(
+                    (8, LANES), DEAD, jnp.int32
+                )
+                return 0
+
+            jax.lax.fori_loop(0, mcap * N // 8, mb, 0)
+            # seed the deferred write-back: parity slot 1 aims each group's
+            # zero pending pair at its trash row
+            vscr_ref[:] = subN * NS4 + TRASH
+            cp = pltpu.make_async_copy(
+                vscr_ref, sscr_ref.at[pl.ds(N, N)], dma_sem
+            )
+            cp.start()
+            cp.wait()
+
+        # ---- flush machinery ------------------------------------------
+        def flush_refs(fifo, fill, mcount):
+            """Write every lane's fill-masked FIFO rows to the marker
+            buffer at its own row cursor (side effects only)."""
+            row0 = subN * mcap + jnp.minimum(mcount, mcap - F)
+            blocks = []
+            for g in range(N):
+                fb = jnp.concatenate(
+                    [fifo[f][g : g + 1, :] for f in range(F)], axis=0
+                )
+                mask = iotaF < jnp.broadcast_to(fill[g : g + 1, :], (F, LANES))
+                blocks.append(jnp.where(mask, fb, DEAD))
+            if interpret:
+                mk = mk_ref[:]
+                lidx = jnp.arange(LANES)
+                for g in range(N):
+                    for f in range(F):
+                        mk = mk.at[row0[g, :] + f, lidx].set(blocks[g][f, :])
+                mk_ref[:] = mk
+                return
+            vscr_ref[:] = row0
+            cp = pltpu.make_async_copy(
+                vscr_ref, sscr_ref.at[pl.ds(2 * N, N)], dma_sem
+            )
+            cp.start()
+            cp.wait()
+
+            def body(l, _):
+                for g in range(N):
+                    r = sscr_ref[2 * N + g, l]
+                    old = mk_ref[pl.ds(r, F), :]
+                    mk_ref[pl.ds(r, F), :] = jnp.where(
+                        laneF == l, blocks[g], old
+                    )
+                return 0
+
+            jax.lax.fori_loop(0, LANES, body, 0)
+
+        def maybe_flush(fifo, fill, mcount, ovf):
+            """Flush-all when the fullest lane crosses the threshold; the
+            register updates are unconditional selects on the scalar."""
+            do = jnp.max(fill) > _THRESH
+
+            @pl.when(do)
+            def _():
+                flush_refs(fifo, fill, mcount)
+
+            nm = mcount + fill
+            over = (nm > mcap - F).astype(jnp.int32)
+            mcount = jnp.where(do, jnp.minimum(nm, mcap - F), mcount)
+            ovf = jnp.where(do, ovf | over, ovf)
+            fill = jnp.where(do, 0, fill)
+            return fill, mcount, ovf
+
+        # ---- one coder decision (encode side) -------------------------
+        def decision(k, d, ad, e, nz, live, regs):
+            (wa, wb, low, rng, pend, run, off, fill, fifo) = regs
+            in_exp = (k >= 1) & (k <= e)
+            is_stop = k == e + 1
+            in_mant = (k >= e + 2) & (k <= 2 * e + 1)
+            is_sign = k == 2 * e + 2
+
+            ctx = jnp.where(in_exp, jnp.minimum(k, cfg.e_lim), 0)
+            ctx = jnp.where(is_stop, jnp.minimum(e + 1, cfg.e_lim), ctx)
+            ctx = jnp.where(
+                in_mant, jnp.minimum(cfg.e_lim + 1 + (k - e - 2), cfg.r_lim),
+                ctx,
+            )
+            ctx = jnp.where(is_sign, cfg.sign_ctx, ctx)
+
+            bit = jnp.where(in_exp, 1, 0)
+            mant_i = jnp.clip(2 * e + 1 - k, 0, 30)
+            bit = jnp.where(in_mant, (ad >> mant_i) & 1, bit)
+            bit = jnp.where(is_sign, (d < 0).astype(jnp.int32), bit)
+            is_zf = k * jnp.ones_like(bit) == 0
+            bit = jnp.where(is_zf & ~nz, 1, jnp.where(is_zf, 0, bit))
+            valid = (
+                is_zf | (nz & (in_exp | is_stop | in_mant | is_sign))
+            ) & live
+
+            sh = (ctx & 3) * 8
+            mword = jnp.where(ctx < 4, wa, wb)
+            st8 = jax.lax.shift_right_logical(mword, sh) & 0xFF
+            f = lutN(ftab_v, st8)
+            prob = f & 0xFF
+
+            bitb = bit == 1
+            range1 = (rng * prob) >> 8
+            low = jnp.where(bitb & valid, low + rng - range1, low)
+            rng = jnp.where(valid, jnp.where(bitb, range1, rng - range1), rng)
+            do = valid & (rng < 0x100)
+
+            first = pend < 0
+            nocarry = low <= 0xFF00
+            cry = low >= 0x10000
+            emit = do & ~first & (nocarry | cry)
+            defer = do & ~first & ~nocarry & ~cry
+            head = jnp.where(cry, (pend + 1) & 0xFF, pend & 0xFF)
+            marker = (off << 9) | (cry.astype(jnp.int32) << 8) | head
+            for fi in range(F):
+                fifo[fi] = jnp.where(emit & (fill == fi), marker, fifo[fi])
+            fill = fill + emit.astype(jnp.int32)
+            off = jnp.where(emit, off + 1 + run, off)
+            pend = jnp.where(do & ~defer, (low >> 8) & 0xFF, pend)
+            run = jnp.where(emit, 0, jnp.where(defer, run + 1, run))
+            low = jnp.where(do, (low & 0xFF) << 8, low)
+            rng = jnp.where(do, rng << 8, rng)
+
+            ns = jax.lax.shift_right_logical(
+                f, jnp.where(bitb, 16, 8)) & 0xFF
+            neww = (mword & ~(0xFF << sh)) | (ns << sh)
+            wa = jnp.where(valid & (ctx < 4), neww, wa)
+            wb = jnp.where(valid & (ctx >= 4), neww, wb)
+            return (wa, wb, low, rng, pend, run, off, fill, fifo)
+
+        # ---- per-symbol body (two symbols per fori step: static parity)
+        def pair_body(p, carry):
+            (low, rng, pend, run, off, fill, mcount, ovf, pa, pb,
+             *fifo) = carry
+            fifo = list(fifo)
+            for j2 in range(2):
+                jj = p * 2 + j2
+                slot = j2            # static parity slots
+                pslot = 1 - j2
+                x = xs_ref[0, jj]
+                live = (x & (1 << 25)) != 0
+                d = (x & 0xFFF) - 1274
+                h = (x >> 12) & 0x1FFF
+                ad = jnp.abs(d)
+                e = jnp.zeros_like(ad)
+                for b in range(1, 12):
+                    e = e + ((ad >> b) > 0).astype(jnp.int32)
+                nz = ad != 0
+                mrow = h * 2 + subN * NS4
+
+                fill, mcount, ovf = maybe_flush(fifo, fill, mcount, ovf)
+
+                if interpret:
+                    mdl = model_ref[:]
+                    wa = jnp.take_along_axis(mdl, mrow, axis=0)
+                    wb = jnp.take_along_axis(mdl, mrow + 1, axis=0)
+                else:
+                    vscr_ref[:] = mrow
+                    cp = pltpu.make_async_copy(
+                        vscr_ref, sscr_ref.at[pl.ds(slot * N, N)], dma_sem
+                    )
+                    cp.start()
+                    cp.wait()
+                    pend_gs = [
+                        jnp.concatenate(
+                            [pa[g : g + 1, :], pb[g : g + 1, :]], axis=0
+                        )
+                        for g in range(N)
+                    ]
+                    z1 = jnp.zeros((1, LANES), jnp.int32)
+
+                    def stage(l, acc):
+                        was, wbs = list(acc[0]), list(acc[1])
+                        lm1 = lane1 == l
+                        lm2 = lane2 == l
+                        for g in range(N):
+                            rp = sscr_ref[pslot * N + g, l]
+                            rc = sscr_ref[slot * N + g, l]
+                            old = model_ref[pl.ds(rp, 2), :]
+                            model_ref[pl.ds(rp, 2), :] = jnp.where(
+                                lm2, pend_gs[g], old
+                            )
+                            pair = model_ref[pl.ds(rc, 2), :]
+                            was[g] = jnp.where(lm1, pair[0:1, :], was[g])
+                            wbs[g] = jnp.where(lm1, pair[1:2, :], wbs[g])
+                        return tuple(was), tuple(wbs)
+
+                    was, wbs = jax.lax.fori_loop(
+                        0, LANES, stage,
+                        (tuple([z1] * N), tuple([z1] * N)),
+                    )
+                    wa = was[0] if N == 1 else jnp.concatenate(was, axis=0)
+                    wb = wbs[0] if N == 1 else jnp.concatenate(wbs, axis=0)
+
+                regs = (wa, wb, low, rng, pend, run, off, fill, fifo)
+                if interpret:
+                    # rolled decision loop (XLA:CPU cannot compile the
+                    # unrolled graph); flush checks between quarter-loops
+                    def dbody(k, regs):
+                        (wa, wb, low, rng, pend, run, off, fill,
+                         *fifo_) = regs
+                        out = decision(k, d, ad, e, nz, live,
+                                       (wa, wb, low, rng, pend, run, off,
+                                        fill, list(fifo_)))
+                        return (*out[:8], *out[8])
+
+                    flat = (*regs[:8], *regs[8])
+                    for q in range(4):
+                        flat = jax.lax.fori_loop(
+                            q * 6, (q + 1) * 6, dbody, flat
+                        )
+                        if q < 3:
+                            fifo_q = list(flat[8:])
+                            fill_q, mcount, ovf = maybe_flush(
+                                fifo_q, flat[7], mcount, ovf
+                            )
+                            flat = (*flat[:7], fill_q, *fifo_q)
+                    regs = (*flat[:8], list(flat[8:]))
+                else:
+                    for k in range(cfg.max_bins_per_symbol):
+                        if k and k % _CHECK_EVERY == 0:
+                            fill_k = regs[7]
+                            fifo_k = regs[8]
+                            fill_k, mcount, ovf = maybe_flush(
+                                fifo_k, fill_k, mcount, ovf
+                            )
+                            regs = (*regs[:7], fill_k, fifo_k)
+                        regs = decision(k, d, ad, e, nz, live, regs)
+                (wa, wb, low, rng, pend, run, off, fill, fifo) = regs
+
+                if interpret:
+                    mdl = model_ref[:]
+                    lidx = jnp.arange(LANES)
+                    for g in range(N):
+                        mdl = mdl.at[mrow[g, :], lidx].set(wa[g, :])
+                        mdl = mdl.at[mrow[g, :] + 1, lidx].set(wb[g, :])
+                    model_ref[:] = mdl
+                pa, pb = wa, wb
+            return (low, rng, pend, run, off, fill, mcount, ovf, pa, pb,
+                    *fifo)
+
+        init = tuple(
+            st_ref[i * N : (i + 1) * N, :] for i in range(10)
+        ) + tuple(fsav_ref[f * N : (f + 1) * N, :] for f in range(F))
+        out = jax.lax.fori_loop(0, ECHUNK // 2, pair_body, init)
+        (low, rng, pend, run, off, fill, mcount, ovf, pa, pb) = out[:10]
+        fifo = list(out[10:])
+        for i, v in enumerate(out[:10]):
+            st_ref[i * N : (i + 1) * N, :] = v
+        for f in range(F):
+            fsav_ref[f * N : (f + 1) * N, :] = fifo[f]
+
+        @pl.when(chunk == n_chunks - 1)
+        def _finish():
+            # llcomp.hpp:75-81: low += 0xFF, two forced shifts, pending
+            # byte dropped.  Unconditional flush first (capacity), then
+            # the two shift markers, then the final flush.
+            flush_refs(fifo, fill, mcount)
+            mcount2 = jnp.minimum(mcount + fill, mcap - F)
+            ovf2 = ovf | (mcount + fill > mcap - F).astype(jnp.int32)
+            fifo2 = list(fifo)
+            fill2 = zN
+            low2, pend2, run2, off2 = low + 0xFF, pend, run, off
+            for _t in range(2):
+                first = pend2 < 0
+                nocarry = low2 <= 0xFF00
+                cry = low2 >= 0x10000
+                emit = ~first & (nocarry | cry)
+                defer = ~first & ~nocarry & ~cry
+                head = jnp.where(cry, (pend2 + 1) & 0xFF, pend2 & 0xFF)
+                marker = (off2 << 9) | (cry.astype(jnp.int32) << 8) | head
+                for fi in range(F):
+                    fifo2[fi] = jnp.where(
+                        emit & (fill2 == fi), marker, fifo2[fi]
+                    )
+                fill2 = fill2 + emit.astype(jnp.int32)
+                off2 = jnp.where(emit, off2 + 1 + run2, off2)
+                pend2 = jnp.where(~defer, (low2 >> 8) & 0xFF, pend2)
+                run2 = jnp.where(emit, 0, jnp.where(defer, run2 + 1, run2))
+                low2 = (low2 & 0xFF) << 8
+            flush_refs(fifo2, fill2, mcount2)
+            ovf3 = ovf2 | (mcount2 + fill2 > mcap - F).astype(jnp.int32)
+            ovf3 = ovf3 | (off2 >= (1 << 21)).astype(jnp.int32)
+            fin_ref[0:N, :] = off2
+            fin_ref[N : 2 * N, :] = ovf3
+
+    return kernel
+
+
+def _prior_operands(seed):
+    """(plo, phi) packed prior rows; a stored seed swaps the VALUES only
+    (container flag bit 1), the kernel is identical."""
+    if seed is None:
+        return jnp.asarray(_PRIOR_LO_B), jnp.asarray(_PRIOR_HI_B)
+    t = jnp.asarray(seed, jnp.int32)
+    slo = t[:, 0] | t[:, 1] << 8 | t[:, 2] << 16 | t[:, 3] << 24
+    shi = t[:, 4] | t[:, 5] << 8 | t[:, 6] << 16 | t[:, 7] << 24
+    plo = jnp.broadcast_to(
+        jnp.zeros(LANES, jnp.int32).at[:121].set(slo), (8, LANES)
+    )
+    phi = jnp.broadcast_to(
+        jnp.zeros(LANES, jnp.int32).at[:121].set(shi), (8, LANES)
+    )
+    return plo, phi
+
+
+def encode_fused_groups(xs: jnp.ndarray, mcap: int, cfg: CodecConfig = REV2,
+                        primed: bool = False, seed=None):
+    """xs [G_out, n_pad, NSUB, 128] i32 (live<<25 | hash<<12 | diff+1274,
+    stream order) -> (markers [G_out, NSUB, mcap, 128] i32 ascending per
+    lane with DEAD tails, fin [G_out, 2*NSUB, 128]: rows [0,N) per-lane
+    byte lengths, rows [N,2N) sticky overflow flags).
+
+    A stored seed promotes ``primed`` and swaps the prior operand VALUES
+    only — primed and seeded encodes share one compiled kernel."""
+    plo, phi = _prior_operands(seed)
+    return _encode_fused_groups(xs, plo, phi, mcap, cfg,
+                                primed or seed is not None)
+
+
+@functools.partial(jax.jit, static_argnames=("mcap", "cfg", "primed"))
+def _encode_fused_groups(xs: jnp.ndarray, plo, phi, mcap: int,
+                         cfg: CodecConfig = REV2, primed: bool = False):
+    G_out, n_pad, NSUB = xs.shape[0], xs.shape[1], xs.shape[2]
+    assert n_pad % ECHUNK == 0, n_pad
+    interpret = _use_interpret()
+    kernel = _make_fused_kernel(mcap, cfg, NSUB, interpret, primed)
+    mk, fin = pl.pallas_call(
+        kernel,
+        grid=(G_out, n_pad // ECHUNK),
+        in_specs=[
+            pl.BlockSpec((1, ECHUNK, NSUB, LANES), lambda g, c: (g, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((8, LANES), lambda g, c: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=(
+            pl.BlockSpec((None, mcap * NSUB, LANES), lambda g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 2 * NSUB, LANES), lambda g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G_out, mcap * NSUB, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((G_out, 2 * NSUB, LANES), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NSUB * NS4, LANES), jnp.int32),
+            pltpu.VMEM((10 * NSUB, LANES), jnp.int32),
+            pltpu.VMEM((FIFO * NSUB, LANES), jnp.int32),
+            pltpu.VMEM((NSUB, LANES), jnp.int32),
+            pltpu.SMEM((3 * NSUB, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xs, jnp.asarray(_FUSED), plo, phi)
+    lens = fin[:, :NSUB, :]
+    ovf = fin[:, NSUB:, :]
+    return mk.reshape(G_out, NSUB, mcap, LANES), lens, ovf

@@ -104,6 +104,70 @@ def test_blocked_kernel_primed_multigroup(monkeypatch):
     np.testing.assert_array_equal(out[129], b)
 
 
+def test_fused_engine_matches_oracle():
+    """Round-4 fused stream-order engine (model+coder in VMEM, no sorts):
+    byte-identical to the oracle on mixed content, including the
+    G-padding and symbol-tail paths."""
+    lanes = np.stack(
+        [make_photo(4, 8, seed=i) for i in range(2)]
+        + [np.full((4, 8, 3), 42, np.uint8)]
+    )
+    outs = jenc.encode_lanes(lanes, engine="fused")
+    for i in range(3):
+        assert outs[i] == oracle.encode(lanes[i])[6:], f"lane {i}"
+
+
+def test_fused_engine_multigroup():
+    """>128 lanes exercises NSUB>1 sublane packing + model sectioning."""
+    lanes = np.stack([make_photo(2, 8, seed=300 + i) for i in range(130)])
+    outs = jenc.encode_lanes(lanes, engine="fused")
+    for i in (0, 1, 127, 128, 129):
+        assert outs[i] == oracle.encode(lanes[i])[6:], f"lane {i}"
+
+
+def test_fused_engine_primed_and_seeded():
+    from llcomp_tpu import seed as seedmod
+
+    img = make_photo(16, 8, seed=21)
+    tab = seedmod.derive(img)
+    stripes = np.stack([img[:8], img[8:]])
+    got_p = jenc.encode_lanes(stripes, engine="fused", primed=True)
+    got_s = jenc.encode_lanes(stripes, engine="fused", seed=tab)
+    for i, s in enumerate(stripes):
+        assert got_p[i] == oracle.encode_planes(
+            oracle.rct_forward(s), primed=True)
+        assert got_s[i] == oracle.encode_planes(
+            oracle.rct_forward(s), seed=tab)
+
+
+def test_fused_engine_overflow_falls_back(monkeypatch):
+    """Incompressible lanes overflow the marker buffer (sticky flag) and
+    encode_lanes silently re-encodes through the sort chain."""
+    from llcomp_tpu import encode as je
+    from llcomp_tpu.pallas import encode_fused as ef
+
+    lanes = np.stack([make_noise(4, 8, seed=i) for i in range(2)])
+    monkeypatch.setenv("LLCT_FUSED_MCAP", "32")  # force overflow
+    with pytest.raises(je.FusedOverflow):
+        je._encode_lanes_fused(lanes)
+    outs = jenc.encode_lanes(lanes, engine="fused")  # falls back
+    for i in range(2):
+        assert outs[i] == oracle.encode(lanes[i])[6:]
+    monkeypatch.delenv("LLCT_FUSED_MCAP")
+    # ample budget: no overflow even on noise
+    outs2 = je._encode_lanes_fused(lanes)
+    assert outs2 == outs
+    assert ef.pick_mcap(4 * 8 * 3) >= 96
+
+
+def test_fused_engine_single_symbol_rows():
+    """1-pixel-high lanes and C=1/C=4 geometries through the fused path."""
+    for c in (1, 3, 4):
+        img = make_photo(1, 8, c=c, seed=c)
+        out = jenc.encode_lanes(img[None], engine="fused")
+        assert out[0] == oracle.encode(img)[6:], f"C={c}"
+
+
 def test_blocked_kernel_seeded_unprimed(monkeypatch):
     """Round-4 regression (ADVICE r03 high): seeded containers do NOT set
     FLAG_PRIMED, so api.decompress calls the decode engines with
