@@ -33,21 +33,36 @@ def pick_slice_height(height: int, width: int, channels: int,
     More stripes = more parallel lanes but each stream restarts its adaptive
     model, costing ratio on small stripes.  Default: aim for
     ``target_lanes`` stripes but never fewer than ``min_rows`` rows per
-    stripe — except for wide images, where the Pallas encode pipeline's HBM
-    budget (~6 B per decision slot per lane of a 1024-lane group,
-    LLCT_SLOT_BUDGET) caps the stripe's slot count.  Staying on the fast
-    engine with thin stripes beats falling back to the XLA engine with tall
-    ones: the hash-bucketed prior holds sliced ratio >= 2.14 even at 2-row
-    stripes (docs/DESIGN.md), while over-budget stripes decode/encode an
-    order of magnitude slower.  Only ultra-wide images whose budget height
-    would drop below 2 rows keep ``min_rows`` and take the XLA fallback.
+    stripe — except for wide images, where the stripe must fit BOTH fused
+    Pallas engines' VMEM budgets (the round-4 fused encode kernel's marker
+    buffer, encode_fused.fits_fused; the decode kernel's line ring,
+    decode_kernel.fits_pallas_decode).  Staying on the fast engines with
+    thin stripes beats tall stripes on a fallback path: the hash-bucketed
+    prior holds sliced ratio >= 2.14 even at 2-row stripes
+    (docs/DESIGN.md), while off-kernel stripes decode an order of
+    magnitude slower on a TPU host.  Only extreme widths whose line ring
+    exceeds VMEM even at 1 row keep ``min_rows`` — api.decompress routes
+    those to the native runtime.  Must stay a pure function of geometry:
+    every host shapes identical containers.
     """
     rows = max(min_rows, -(-height // target_lanes))
-    budget = int(os.environ.get("LLCT_SLOT_BUDGET", 900_000))
-    max_rows_fast = budget // (24 * width * channels)
-    if max_rows_fast >= 2 or height == 1:
-        return max(1, min(height, rows, max(max_rows_fast, 1)))
-    return max(1, min(height, min_rows))  # ultra-wide: XLA-fallback regime
+    from . import decode as jdec
+    from .pallas import decode_kernel as dk
+    from .pallas import encode_fused as ef
+
+    stride = width * channels
+
+    def fast(r: int) -> bool:
+        n_sym = r * stride
+        return ef.fits_fused(n_sym) and dk.fits_pallas_decode(
+            jdec._bucket_cap(n_sym), stride)
+
+    rows = max(1, min(height, rows))
+    while rows >= 2 and not fast(rows):
+        rows = max(2, rows // 2) if rows > 2 else 1
+    if rows >= 2 or height == 1 or fast(1):
+        return max(1, min(height, rows))
+    return max(1, min(height, min_rows))  # extreme width: native regime
 
 
 # Encoder policy for the sliced-mode model prior (tables.PRIOR_TAB): priming
@@ -79,27 +94,50 @@ def _pick_primed(img: np.ndarray, cfg: CodecConfig = REV2) -> bool:
     return (zs / max(n, 1)) < PRIMED_ZERO_FRAC_MAX
 
 
-def _resolve_backend(backend: str) -> str:
-    """backend='auto': the accelerator path on TPU hosts, otherwise the
-    threaded native C++ runtime (20-25 MP/s on a CPU host vs the XLA
-    engine's interpretive pace); every backend emits identical bytes."""
+def _native_available() -> bool:
+    try:
+        from .native import load_library
+
+        load_library()
+        return True
+    except Exception:
+        return False
+
+
+# Below this many stripes the lane-lockstep device engines cannot fill
+# even a fraction of a 1024-lane kernel group; the threaded native
+# runtime wins outright (bytes are engine-identical, so this is pure
+# dispatch policy — VERDICT r03 #5).
+MIN_DEVICE_LANES = 32
+
+
+def _resolve_backend(backend: str, single: bool = False,
+                     lanes: int | None = None) -> str:
+    """backend='auto': pick the fastest engine for the workload shape.
+
+    Every backend emits identical bytes, so this is pure policy:
+    * CPU hosts -> the threaded native C++ runtime (20-25 MP/s measured
+      vs the XLA engines' interpretive pace);
+    * TPU hosts -> the device engines for lane-parallel sliced work, BUT
+      single-stream (reference-compatible) calls and few-lane containers
+      still go native: one stream is one lane, and a single-lane XLA
+      scan runs far below the reference's 4 MP/s (`llcomp.hpp:390-448`)
+      while the native runtime matches it per core.
+    """
     if backend != "auto":
         return backend
     import jax
 
     if jax.default_backend() == "tpu":
+        if (single or (lanes is not None and lanes < MIN_DEVICE_LANES)) \
+                and _native_available():
+            return "native"
         return "jax"
-    try:
-        from .native import load_library
-
-        load_library()
-        return "native"
-    except Exception:
-        return "jax"
+    return "native" if _native_available() else "jax"
 
 
 def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
-             backend: str = "jax", revision: int = 2,
+             backend: str = "auto", revision: int = 2,
              primed: bool | None = None,
              seeded: bool | None = None) -> bytes:
     """Compress a uint8 [H, W, C] image.
@@ -125,7 +163,6 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
     """
     img = _as_image(img)
     H, W, C = img.shape
-    backend = _resolve_backend(backend)
 
     if revision == 0:
         from . import rev0
@@ -135,6 +172,7 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
         raise ValueError(f"unsupported revision {revision}")
 
     if slices in (None, 1):
+        backend = _resolve_backend(backend, single=True)
         if primed or seeded:
             # the prior/seed are properties of the *sliced* container
             # (flag bits 0/1); a single reference-compatible stream has
@@ -165,6 +203,7 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
             raise ValueError(f"slices must be >= 1 or 'auto', got {n}")
         slice_h = max(1, -(-H // n))
     bounds = container.slice_bounds(H, slice_h)
+    backend = _resolve_backend(backend, lanes=len(bounds))
     if primed is None:
         primed = len(bounds) > 1 and _pick_primed(img, cfg)
     if seeded is None:
@@ -222,7 +261,7 @@ def encode_stripes(img: np.ndarray, bounds, cfg: CodecConfig = REV2,
     return out  # type: ignore[return-value]
 
 
-def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax",
+def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "auto",
                strict: bool = True):
     """Decompress either container format back to a uint8 [H, W, C] image.
 
@@ -237,11 +276,27 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax",
     corruption.
     """
     data = bytes(data)
-    backend = _resolve_backend(backend)
     if container.is_sliced(data):
         streams, W, H, C, slice_h, flags, seed_blob = container.unpack_sliced(
             data, cfg)
         bounds = container.slice_bounds(H, slice_h)
+        backend = _resolve_backend(backend, lanes=len(bounds))
+        if backend == "jax":
+            # geometries whose line ring exceeds the decode kernel's VMEM
+            # budget would land on the XLA fallback (~0.4 MP/s, 10x below
+            # the reference) — the native runtime decodes them at full
+            # speed instead (VERDICT r03 #4: the ultra-wide cliff)
+            import jax
+
+            from . import decode as jdecode
+            from .pallas import decode_kernel as dk
+
+            cap = jdecode._bucket_cap(
+                max((len(s) for s in streams), default=0))
+            if (jax.default_backend() == "tpu"
+                    and not dk.fits_pallas_decode(cap, W * C)
+                    and _native_available()):
+                backend = "native"
         tab = None
         if flags & container.FLAG_SEEDED:
             from . import seed as seedmod
@@ -266,6 +321,7 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "jax",
         return rev0.decode(data)
 
     payload, W, H, C = container.unpack_single(data, cfg)
+    backend = _resolve_backend(backend, single=True)
 
     def _single():
         if backend == "oracle":
@@ -317,23 +373,28 @@ def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2,
             from . import host
 
             # the native runtime decodes streams independently: isolate
-            # faults per slice by falling back to one-at-a-time on error
+            # faults per slice by falling back to one-at-a-time on error,
+            # so strict mode can name the corrupt slices like the jax path
             try:
                 lanes = host.decode_streams(
                     [streams[i] for i in idxs], (rows, W, C), primed=primed,
                     seed=seed,
                 )
             except ValueError:
-                if strict:
-                    raise
                 lanes = np.zeros((len(idxs), rows, W, C), np.uint8)
+                shape_bad = []
                 for k, i in enumerate(idxs):
                     try:
                         lanes[k] = host.decode_streams(
                             [streams[i]], (rows, W, C), primed=primed,
                             seed=seed)[0]
                     except ValueError:
-                        bad_slices.append(i)
+                        shape_bad.append(i)
+                if strict:
+                    raise ValueError(
+                        f"corrupt stream in slices {sorted(shape_bad)}"
+                    )
+                bad_slices.extend(shape_bad)
         else:
             lanes, bad = decode.decode_lanes(
                 [streams[i] for i in idxs], (rows, W, C), cfg, primed=primed,

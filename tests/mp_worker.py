@@ -29,6 +29,7 @@ def main() -> None:
     coordinator, nprocs, pid, outfile = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    height = int(sys.argv[5]) if len(sys.argv) > 5 else 32
     from llcomp_tpu import distributed
 
     distributed.initialize(coordinator, nprocs, pid)
@@ -38,7 +39,7 @@ def main() -> None:
 
     from tests.conftest import make_photo
 
-    img = make_photo(32, 16, seed=3)
+    img = make_photo(height, 16, seed=3)
     blob = distributed.compress_image_pod(img, slice_h=8)
     with open(outfile, "wb") as f:
         f.write(blob)

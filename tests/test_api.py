@@ -122,22 +122,24 @@ def test_oracle_backend():
     )
 
 
-def test_wide_image_slicing_stays_within_pallas_budget():
-    """Wide stripes must respect the encode pipeline's HBM slot budget and
-    never collapse to 1-row stripes for W <= 8192 (VERDICT r1 #4).  Since
-    the bucketed prior holds sliced ratio >= 2.14 even at 2-row stripes,
-    wide images prefer thin stripes on the fast Pallas path over tall ones
-    on the slow XLA fallback; only ultra-wide images (budget height < 2)
-    keep min_rows and fall back."""
-    import os
+def test_wide_image_slicing_stays_on_kernel_path():
+    """Wide stripes must fit BOTH fused kernels (round-4 fused encode's
+    marker buffer + the decode kernel's line ring) so ultra-wide images
+    stay on the accelerated path instead of a 10x-slower fallback
+    (VERDICT r03 #4).  8192-wide must now produce kernel-fit stripes."""
+    from llcomp_tpu import decode as jdec
+    from llcomp_tpu.pallas import decode_kernel as dk
+    from llcomp_tpu.pallas import encode_fused as ef
 
-    budget = int(os.environ.get("LLCT_SLOT_BUDGET", 900_000))
-    for w in (2048, 3840, 8192):
+    for w in (2048, 3840, 8192, 16384):
         sh = api.pick_slice_height(4096, w, 3)
         assert sh >= 2, (w, sh)  # never the 1-row-stripe regime
-        # either inside the Pallas HBM budget or >= min_rows for the
-        # XLA fallback in encode_lanes
-        assert sh * w * 3 * 24 <= budget or sh >= 8, (w, sh)
+        n_sym = sh * w * 3
+        assert ef.fits_fused(n_sym), (w, sh)
+        assert dk.fits_pallas_decode(jdec._bucket_cap(n_sym), w * 3), (w, sh)
+    # extreme widths whose ring exceeds VMEM at any height keep min_rows
+    # (api.decompress reroutes those to the native runtime)
+    assert api.pick_slice_height(64, 60000, 3) == 8
     # and a wide-but-short image still round-trips (falls back if needed)
     img = make_photo(6, 640, c=3)
     blob = llcomp_tpu.compress(img, slices=2)

@@ -90,6 +90,64 @@ def test_multiprocess_pod_gather(tmp_path):
     np.testing.assert_array_equal(llcomp_tpu.decompress(blob0), img)
 
 
+def test_multiprocess_pod_gather_4proc_unequal_spans(tmp_path):
+    """4 real processes over a 6-stripe image: corpus_span gives unequal
+    spans (2/2/1/1), exercising the padded all-gather's ragged tail
+    (VERDICT r03 #7).  All ranks must assemble identical containers that
+    equal the single-process bytes."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+    worker = Path(__file__).parent / "mp_worker.py"
+    outs = [tmp_path / f"rank{r}.llcomp" for r in range(4)]
+    H = 44  # ceil(44/8) = 6 stripes over 4 procs -> spans 2/2/1/1
+
+    spans = [distributed.corpus_span(6, p, 4) for p in range(4)]
+    assert len({b - a for a, b in spans}) > 1, spans  # genuinely unequal
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coordinator, "4", str(r),
+             str(outs[r]), str(H)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for r in range(4)
+    ]
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            if p.returncode != 0:
+                tail = err.decode(errors="replace")[-2000:]
+                if "distributed" in tail and "initialize" in tail:
+                    pytest.skip(f"jax.distributed unavailable: {tail[-200:]}")
+                pytest.fail(f"worker rc={p.returncode}: {tail}")
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    blobs = [o.read_bytes() for o in outs]
+    assert len(set(blobs)) == 1 and blobs[0]
+    img = make_photo(H, 16, seed=3)
+    # byte-equality vs the same slicing done in one process
+    from llcomp_tpu import api, container
+    from llcomp_tpu.core.config import REV2
+
+    bounds = container.slice_bounds(H, 8)
+    primed = len(bounds) > 1 and api._pick_primed(img, REV2)
+    streams = api.encode_stripes(img, bounds, REV2, primed)
+    want = container.pack_sliced(
+        streams, 16, H, 3, 8, REV2,
+        flags=(container.FLAG_PRIMED if primed else 0) | container.FLAG_CRC,
+    )
+    assert blobs[0] == want
+    np.testing.assert_array_equal(llcomp_tpu.decompress(blobs[0]), img)
+
+
 def test_phase_timer():
     t = profiling.PhaseTimer()
     with t("enc"):
