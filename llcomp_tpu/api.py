@@ -27,13 +27,19 @@ def _as_image(img) -> np.ndarray:
 
 
 def pick_slice_height(height: int, width: int, channels: int,
-                      target_lanes: int = 64, min_rows: int = 8) -> int:
+                      target_lanes: int = 32, min_rows: int = 8) -> int:
     """Stripe height balancing lane count (TPU occupancy) against compression.
 
     More stripes = more parallel lanes but each stream restarts its adaptive
     model, costing ratio on small stripes.  Default: aim for
     ``target_lanes`` stripes but never fewer than ``min_rows`` rows per
-    stripe — except for wide images, where the stripe must fit BOTH fused
+    stripe.  target_lanes=32 gives 512-px images 16-row stripes: measured
+    on the 1/f natural corpus (round 4), SEEDED 16-row stripes compress
+    0.1% SMALLER than the reference's single stream (net 2.791 vs 2.789;
+    8-row: 2.767) — each stripe restarts at the stored prior, which beats
+    the single stream's cold start, while 32 stripes/image still saturate
+    the kernels when corpus batching shares lanes across images.
+    Exception: wide images, where the stripe must fit BOTH fused
     Pallas engines' VMEM budgets (the round-4 fused encode kernel's marker
     buffer, encode_fused.fits_fused; the decode kernel's line ring,
     decode_kernel.fits_pallas_decode).  Staying on the fast engines with

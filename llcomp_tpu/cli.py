@@ -142,7 +142,8 @@ def _cmd_selftest(args) -> int:
     from . import encode as jenc
 
     engines = {"jax-xla": lambda: jenc.encode_lanes(probe[None], engine="xla")[0],
-               "jax-pallas": lambda: jenc.encode_lanes(probe[None], engine="pallas")[0]}
+               "jax-pallas": lambda: jenc.encode_lanes(probe[None], engine="pallas")[0],
+               "jax-fused": lambda: jenc.encode_lanes(probe[None], engine="fused")[0]}
     try:
         from . import host
 

@@ -53,7 +53,9 @@ class CorpusStats:
             "compressed_bytes": self.compressed_bytes,
             "ratio": round(self.ratio, 3),
             "bpp": round(self.bpp, 3),
-            "mps": round(self.mps, 3),
+            # 6 digits: a one-image corpus on a cold process legitimately
+            # measures well under 0.0005 MP/s and must not report 0.0
+            "mps": round(self.mps, 6),
             "lanes": self.lanes,
             "batches": self.batches,
             "encode_s": round(self.encode_s, 3),
@@ -71,7 +73,7 @@ def _stripe_plan(shapes, slice_h):
 
 def compress_corpus(
     images: list[np.ndarray],
-    slice_h: int = 8,
+    slice_h: int = 16,
     cfg: CodecConfig = REV2,
     max_lanes_per_batch: int = 4096,
     mesh=None,
@@ -155,7 +157,7 @@ def compress_corpus(
         # go through encode_lanes, which owns the XLA fallback
         pipe = [
             k for k, (_, lanes) in enumerate(chunks)
-            if jenc.fits_pallas_budget(int(np.prod(lanes.shape[1:])))
+            if jenc.pipeline_fits(int(np.prod(lanes.shape[1:])))
         ]
         all_streams: list = [None] * len(chunks)
         if jax.default_backend() == "tpu" and len(pipe) > 1:

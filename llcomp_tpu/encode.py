@@ -726,7 +726,14 @@ def _fused_collect(mk, lens, ovf, n_sym: int):
     outcap = _outcap(n_sym)
     if maxlen > outcap:  # cannot happen for the rev-2 coder
         raise AssertionError(f"stream overflow: {maxlen} > bound {outcap}")
-    cap2 = min(outcap, max(1024, -(-maxlen // 1024) * 1024))
+    # geometric cap ladder: expand_markers compiles once per cap value
+    # (~1 min each on the remote backend), so nearby batch maxima must
+    # share a bucket — a 1.5x ladder costs <= 50% extra sort rows but
+    # caps the variant count at ~log1.5(outcap)
+    cap2 = 1024
+    while cap2 < maxlen:
+        cap2 = min(outcap, -(-(cap2 + cap2 // 2) // 1024) * 1024)
+    cap2 = min(outcap, cap2)
     byts = profiling.timed(
         "encode/marker_expand", _expand_markers_jit, mk, cap2
     )
@@ -755,6 +762,19 @@ def _outcap(n_sym: int) -> int:
     return -(-(n_sym + n_sym // 2 + 64) // 1024) * 1024
 
 
+def pipeline_fits(n_sym: int) -> bool:
+    """True iff a stripe of ``n_sym`` samples can take the pipelined
+    accelerated path (the fused engine's budget on TPU hosts, else the
+    sort chain's)."""
+    if (os.environ.get("LLCT_ENCODE_ENGINE", "fused") == "fused"
+            and jax.default_backend() == "tpu"):
+        from .pallas import encode_fused as ef
+
+        if ef.fits_fused(n_sym):
+            return True
+    return fits_pallas_budget(n_sym)
+
+
 def fits_pallas_budget(n_sym: int) -> bool:
     """True iff a stripe of ``n_sym`` samples fits the Pallas encode chain.
 
@@ -769,6 +789,47 @@ def fits_pallas_budget(n_sym: int) -> bool:
             and _outcap(n_sym) < (1 << 21))
 
 
+def _pipelined_fused(batches: list[np.ndarray], cfg: CodecConfig,
+                     primed: bool, seed=None) -> list[list[bytes]]:
+    """Cross-batch overlap for the fused engine: every batch's upload +
+    precompute + kernel is dispatched before any lens sync, then batches
+    collect in order (lens sync -> marker expansion at the actual cap ->
+    async D2H).  No count sync exists on this path at all.  A batch whose
+    markers overflow re-encodes alone through the sort chain."""
+    max_inflight = max(1, int(os.environ.get("LLCT_PIPELINE_INFLIGHT", "6")))
+    ready: list = [None] * len(batches)
+    inflight: list = []
+
+    def _collect(item):
+        bi, imgs, mk, lens, ovf = item
+        n_sym = int(np.prod(imgs.shape[1:]))
+        try:
+            byts_d, lens_np = _fused_collect(mk, lens, ovf, n_sym)
+        except FusedOverflow:
+            ready[bi] = encode_lanes(imgs, cfg, engine="pallas",
+                                     primed=primed, seed=seed)
+            return
+        ready[bi] = (imgs.shape[0], byts_d, lens_np)
+
+    for bi, imgs in enumerate(batches):
+        mk, lens, ovf = _fused_launch(imgs, cfg, primed, seed)
+        inflight.append((bi, imgs, mk, lens, ovf))
+        while len(inflight) > max_inflight:
+            _collect(inflight.pop(0))
+    for item in inflight:
+        _collect(item)
+    out = []
+    for r in ready:
+        if isinstance(r, list):      # overflow fallback already has bytes
+            out.append(r)
+            continue
+        S, byts_d, lens_np = r
+        cap2 = byts_d.shape[2]
+        byts = np.asarray(byts_d).transpose(0, 1, 3, 2).reshape(-1, cap2)
+        out.append([byts[s, : lens_np[s]].tobytes() for s in range(S)])
+    return out
+
+
 def encode_lanes_pipelined(
     batches: list[np.ndarray], cfg: CodecConfig = REV2, primed: bool = False,
     seed=None,
@@ -780,6 +841,15 @@ def encode_lanes_pipelined(
     uploads and the per-batch count sync overlap earlier batches' device
     work.  Sustained throughput ~= max(stage) instead of sum(stages).
     """
+    from .pallas import encode_fused as ef
+
+    engine = os.environ.get("LLCT_ENCODE_ENGINE", "fused")
+    if (engine == "fused"
+            and jax.default_backend() == "tpu"
+            and all(ef.fits_fused(int(np.prod(b.shape[1:])))
+                    for b in batches)):
+        batches = [np.ascontiguousarray(b, dtype=np.uint8) for b in batches]
+        return _pipelined_fused(batches, cfg, primed, seed)
     # NOTE: speculative (K, Tc) buckets were tried here to remove the
     # per-batch count sync, but measured *slower*: photo content teeters at
     # the K=16/24 bucket edge, and either the misses (re-encodes) or the

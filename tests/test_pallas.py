@@ -168,6 +168,20 @@ def test_fused_engine_single_symbol_rows():
         assert out[0] == oracle.encode(img)[6:], f"C={c}"
 
 
+def test_pipelined_fused_matches_oracle():
+    """The fused cross-batch pipeline (dispatch-all, collect-in-order,
+    overflow fallback) must be byte-identical to the oracle; exercised
+    directly since auto-dispatch requires a TPU host."""
+    from llcomp_tpu import encode as je
+
+    batches = [np.stack([make_photo(2, 8, seed=400 + 2 * b + i)
+                         for i in range(2)]) for b in range(3)]
+    out = je._pipelined_fused(batches, je.REV2, primed=False)
+    for b in range(3):
+        for i in range(2):
+            assert out[b][i] == oracle.encode(batches[b][i])[6:], (b, i)
+
+
 def test_blocked_kernel_seeded_unprimed(monkeypatch):
     """Round-4 regression (ADVICE r03 high): seeded containers do NOT set
     FLAG_PRIMED, so api.decompress calls the decode engines with

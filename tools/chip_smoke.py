@@ -25,16 +25,24 @@ import subprocess
 import sys
 import time
 
-CONFIGS = [(512, 3), (2048, 3), (256, 4)]
+# cache Mosaic/XLA compiles across smoke runs and into the bench process
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+# (H, W, C): the three driver geometries plus the round-4 ultra-wide shape
+# (width 8192 used to fall off the kernel path entirely — VERDICT r03 #4)
+CONFIGS = [(512, 512, 3), (2048, 2048, 3), (256, 256, 4), (256, 8192, 3)]
 
 
-def _one(H: int, CH: int) -> int:
+def _one(H: int, W: int, CH: int) -> int:
     """Encode + decode one small batch at the given geometry, in-process.
 
     Prints stage markers so a worker crash in the parent's capture points
     at the failing stage.  Uses the same slice-height policy as the bench
     and api.compress (api.pick_slice_height), 2 images -> enough lanes to
-    exercise the multi-group kernel path at every geometry.
+    exercise the multi-group kernel path at every geometry.  The 512 config
+    additionally proves the kernel guard paths on real Mosaic: a corrupt
+    stream must flag exactly its own lane, and 1-row / 1-column images must
+    round-trip (VERDICT r03 #8).
     """
     import numpy as np
 
@@ -46,7 +54,6 @@ def _one(H: int, CH: int) -> int:
     from llcomp_tpu import decode as jdec
     from llcomp_tpu import encode as jenc
 
-    W = H
     slice_h = api.pick_slice_height(H, W, CH)
     while H % slice_h:
         slice_h -= 1
@@ -68,7 +75,7 @@ def _one(H: int, CH: int) -> int:
           f"platform={jax.default_backend()}", flush=True)
 
     on_tpu = jax.default_backend() == "tpu"
-    engine = "pallas" if on_tpu else "xla"
+    engine = "fused" if on_tpu else "xla"   # fused = the round-4 default
     dec_engine = "pallas" if on_tpu else "decision"
 
     t0 = time.time()
@@ -82,7 +89,42 @@ def _one(H: int, CH: int) -> int:
     exact = bool(np.array_equal(out, lanes))
     print(f"SMOKE stage=decode ok s={time.time()-t0:.1f} exact={exact}",
           flush=True)
-    return 0 if exact else 3
+    if not exact:
+        return 3
+
+    if (H, W) == (512, 512):
+        # corrupt-stream decode on the real kernel: exactly the poisoned
+        # lane flags, every other lane stays exact (errors='report')
+        t0 = time.time()
+        bad = list(streams)
+        bad[1] = bytes([b ^ 0xA5 for b in bad[1]]) + b"\xff" * 8
+        outs, badlanes = jdec.decode_lanes(
+            bad, (slice_h, W, CH), engine=dec_engine, primed=True,
+            errors="report")
+        others_ok = all(
+            np.array_equal(outs[i], lanes[i])
+            for i in range(len(bad)) if i not in badlanes
+        )
+        corrupt_ok = bool(badlanes) and 1 in badlanes and others_ok
+        print(f"SMOKE stage=corrupt ok s={time.time()-t0:.1f} "
+              f"flagged={badlanes[:4]} others_exact={others_ok}", flush=True)
+        if not corrupt_ok:
+            return 4
+
+        # 1-row and 1-column images through the same kernel engines
+        t0 = time.time()
+        deg_ok = True
+        for shp in ((1, 64, 3), (64, 1, 3)):
+            im = (np.arange(np.prod(shp)) * 7 % 251).astype(
+                np.uint8).reshape(shp)
+            st = jenc.encode_lanes(im[None], engine=engine)
+            o = jdec.decode_lanes(st, shp, engine=dec_engine)
+            deg_ok = deg_ok and bool(np.array_equal(o[0], im))
+        print(f"SMOKE stage=degenerate ok s={time.time()-t0:.1f} "
+              f"exact={deg_ok}", flush=True)
+        if not deg_ok:
+            return 5
+    return 0
 
 
 def _await_healthy_worker(max_wait_s: int = 900) -> None:
@@ -111,24 +153,28 @@ def _await_healthy_worker(max_wait_s: int = 900) -> None:
 
 
 def main() -> int:
-    if len(sys.argv) >= 4 and sys.argv[1] == "--one":
-        return _one(int(sys.argv[2]), int(sys.argv[3]))
+    if len(sys.argv) >= 5 and sys.argv[1] == "--one":
+        return _one(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
 
     configs = CONFIGS
     if os.environ.get("SMOKE_CONFIGS"):
-        configs = [tuple(int(v) for v in c.split("x"))
-                   for c in os.environ["SMOKE_CONFIGS"].split(",")]
+        configs = []
+        for c in os.environ["SMOKE_CONFIGS"].split(","):
+            parts = [int(v) for v in c.split("x")]
+            if len(parts) == 2:       # legacy "HxC" form: square images
+                parts = [parts[0], parts[0], parts[1]]
+            configs.append(tuple(parts))
     timeout = int(os.environ.get("SMOKE_TIMEOUT", "900"))
     results = {}
     ok_all = True
-    for (H, CH) in configs:
-        key = f"{H}x{H}x{CH}"
+    for (H, W, CH) in configs:
+        key = f"{H}x{W}x{CH}"
         _await_healthy_worker()
         t0 = time.time()
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--one", str(H), str(CH)],
+                 "--one", str(H), str(W), str(CH)],
                 timeout=timeout, capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(
                     __file__))),
