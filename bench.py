@@ -191,13 +191,14 @@ def main() -> int:
         # (best of three rounds: run-to-run tunnel variance is ~20-50%,
         # and the driver takes ONE capture)
         nb = int(os.environ.get("BENCH_PIPELINE_BATCHES", "4"))
-        sustained = 0.0
+        sus_rounds = []
         for round_ in range(int(os.environ.get("BENCH_SUSTAINED_ROUNDS",
                                                "3"))):
             fresh = [fresh_batch(100 + round_ * 40 + j) for j in range(nb)]
             t0 = time.time()
             jenc.encode_lanes_pipelined(fresh, primed=primed, seed=seed_tab)
-            sustained = max(sustained, nb * mp_total / (time.time() - t0))
+            sus_rounds.append(nb * mp_total / (time.time() - t0))
+        sustained = max(sus_rounds)
         headline = max(sustained, mp_total / enc_single_s)
     else:
         t0 = time.time()
@@ -214,6 +215,7 @@ def main() -> int:
         lanes = fb
         enc_single_s = min(times)
         sustained = None
+        sus_rounds = []
         headline = mp_total / enc_single_s
 
     # device-side throughput: inputs resident, chain + byte expansion, no
@@ -247,6 +249,8 @@ def main() -> int:
         }.get((H, CH), 4.0), 3),
         "encode_mps_single_batch": round(mp_total / enc_single_s, 3),
         "encode_mps_sustained": round(sustained, 3) if sustained else None,
+        "encode_round_mps": ([round(v, 2) for v in sus_rounds]
+                             if engine in ("pallas", "fused") else None),
         "encode_mps_device": round(device_mps, 3) if device_mps else None,
         "compression_ratio": round(n_images * H * W * CH / comp_bytes, 3),
         "lanes": S,
