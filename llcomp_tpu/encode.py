@@ -795,8 +795,13 @@ def _pipelined_fused(batches: list[np.ndarray], cfg: CodecConfig,
     precompute + kernel is dispatched before any lens sync, then batches
     collect in order (lens sync -> marker expansion at the actual cap ->
     async D2H).  No count sync exists on this path at all.  A batch whose
-    markers overflow re-encodes alone through the sort chain."""
-    max_inflight = max(1, int(os.environ.get("LLCT_PIPELINE_INFLIGHT", "6")))
+    markers overflow re-encodes alone through the sort chain.
+
+    The in-flight window is small on purpose: collecting batch i starts
+    its byte DOWNLOAD while batch i+2's upload is still streaming, so the
+    duplex tunnel's two directions overlap; a window wider than the batch
+    list serializes all uploads before any download."""
+    max_inflight = max(1, int(os.environ.get("LLCT_PIPELINE_INFLIGHT", "2")))
     ready: list = [None] * len(batches)
     inflight: list = []
 
@@ -970,6 +975,20 @@ def encode_lanes(
         if not ef.fits_fused(n_sym_total):
             engine = "pallas"
     if engine == "fused":
+        from .pallas import encode_fused as ef
+
+        # bound HBM: per lane the fused chain holds ~4B*n_pad (xs) +
+        # 4B*mcap (markers) + grouped input/bytes; chunk big lane batches
+        # to whole 1024-lane blocks and pipeline the chunks
+        _, mcap = ef.pick_geometry(n_sym_total, 8)
+        per_lane = 4 * n_sym_total + 4 * mcap + 2 * n_sym_total
+        budget = int(os.environ.get("LLCT_FUSED_LANE_BUDGET", 3_000_000_000))
+        chunk = max(1024, budget // max(1, per_lane) // 1024 * 1024)
+        if S > chunk:
+            parts = _pipelined_fused(
+                [np.ascontiguousarray(imgs[i : i + chunk])
+                 for i in range(0, S, chunk)], cfg, primed, seed)
+            return [b for part in parts for b in part]
         try:
             return _encode_lanes_fused(imgs, cfg, primed=primed, seed=seed)
         except FusedOverflow:

@@ -226,6 +226,28 @@ def test_seeded_reencode_slice_heals():
     assert healed == blob
 
 
+def test_auto_backend_routing(monkeypatch):
+    """Workload-aware dispatch (VERDICT r03 #5): on a TPU host, auto
+    routes single-stream and few-lane work to the native runtime (one
+    stream = one lane; a single-lane device scan runs far below the
+    reference), keeps many-lane sliced work on the device engines, and
+    CPU hosts always prefer native."""
+    import jax
+
+    from llcomp_tpu import api as a
+
+    monkeypatch.setattr(a, "_native_available", lambda: True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert a._resolve_backend("auto", single=True) == "native"
+    assert a._resolve_backend("auto", lanes=4) == "native"
+    assert a._resolve_backend("auto", lanes=256) == "jax"
+    assert a._resolve_backend("jax", single=True) == "jax"  # explicit wins
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert a._resolve_backend("auto", lanes=256) == "native"
+    monkeypatch.setattr(a, "_native_available", lambda: False)
+    assert a._resolve_backend("auto", single=True) == "jax"
+
+
 def test_single_stream_rejects_primed_and_seeded():
     """primed/seeded are sliced-container flag bits; a single stream has
     nowhere to record them, so an explicit request must fail loudly

@@ -25,7 +25,7 @@ def test_fuzz_roundtrip(seed):
         ).astype(np.uint8)
 
     want = oracle.encode(img)
-    for engine in ("xla", "pallas"):
+    for engine in ("xla", "pallas", "fused"):
         assert jenc.encode_lanes(img[None], engine=engine)[0] == want[6:], (
             engine, h, w, c, style
         )
@@ -51,7 +51,7 @@ def test_fuzz_roundtrip_primed(seed):
         ).astype(np.uint8)
 
     want = oracle.encode_planes(oracle.rct_forward(img), primed=True)
-    for engine in ("xla", "pallas"):
+    for engine in ("xla", "pallas", "fused"):
         got = jenc.encode_lanes(img[None], engine=engine, primed=True)[0]
         assert got == want, (engine, h, w, c)
     for dec_engine in ("decision", "lockstep"):

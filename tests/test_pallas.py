@@ -168,6 +168,20 @@ def test_fused_engine_single_symbol_rows():
         assert out[0] == oracle.encode(img)[6:], f"C={c}"
 
 
+def test_fused_lane_chunking_byte_identical(monkeypatch):
+    """Over-budget lane batches split into whole 1024-lane chunks through
+    the fused pipeline; bytes must equal the unchunked path."""
+    monkeypatch.setenv("LLCT_ENCODE_ENGINE", "fused")
+    lanes = np.stack([make_photo(1, 8, seed=600 + i) for i in range(1025)])
+    monkeypatch.setenv("LLCT_FUSED_LANE_BUDGET", "200000")  # chunk = 1024
+    a = jenc.encode_lanes(lanes, engine="fused")
+    monkeypatch.delenv("LLCT_FUSED_LANE_BUDGET")
+    b = jenc.encode_lanes(lanes, engine="fused")
+    assert a == b
+    assert a[0] == oracle.encode(lanes[0])[6:]
+    assert a[1024] == oracle.encode(lanes[1024])[6:]
+
+
 def test_pipelined_fused_matches_oracle():
     """The fused cross-batch pipeline (dispatch-all, collect-in-order,
     overflow fallback) must be byte-identical to the oracle; exercised

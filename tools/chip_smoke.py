@@ -60,7 +60,8 @@ def _one(H: int, W: int, CH: int) -> int:
     rng = np.random.default_rng(77)
     # target ~2048 lanes: enough for 2+ decode superblocks at NSUB<=8
     # without making the gate expensive at 4K geometries
-    n_img = min(16, max(2, 2048 // (H // slice_h)))
+    n_img = min(16, max(2, 2048 // (H // slice_h)),
+                max(2, 12_000_000 // (H * W)))  # bound smoke work ~12 MP
     yy, xx = np.mgrid[0:H, 0:W]
     imgs = []
     for i in range(n_img):
