@@ -266,10 +266,12 @@ def main() -> int:
         # worker-health marker (VERDICT r03: a sick-worker capture must be
         # distinguishable from a regression): healthy ~5-10 s, sick 30+
         result["liveness_probe_s"] = _LIVENESS_PROBE_S
-    if os.environ.get("BENCH_DEVICE", "1") != "0":
+    if on_tpu and os.environ.get("BENCH_DEVICE", "1") != "0":
         try:
             # raw tunnel download rate: decode e2e is bound by this link,
             # so the capture's tunnel weather is recorded alongside it
+            # (gated on the tpu platform: on the CPU fallback this would
+            # measure host RAM copy speed and mislead)
             # random payload: a compressing transport would flatter zeros
             buf = jax.device_put(
                 np.random.default_rng(int(time.time())).integers(
@@ -358,7 +360,7 @@ def main() -> int:
             max_rounds = base_rounds + 2
             round_ = 0
             while round_ < base_rounds or (
-                round_ < max_rounds
+                round_s and round_ < max_rounds
                 and (max(round_s) - min(round_s)) / max(round_s) > 0.25
             ):
                 fbds = [fresh_batch(900 + round_ * 20 + r)
@@ -379,6 +381,8 @@ def main() -> int:
                 round_s.append((time.time() - t0) / reps)
                 ok = ok and np.array_equal(outd, np.concatenate(fbds))
                 round_ += 1
+            if not round_s:  # BENCH_DECODE_ROUNDS=0: warm pass only
+                round_s = [dec_total]
             dec_warm = min(round_s)
             dec_mps = mp_total / dec_warm
             result["decode_round_mps"] = [round(mp_total / s, 2)

@@ -60,8 +60,10 @@ def pick_slice_height(height: int, width: int, channels: int,
 
     def fast(r: int) -> bool:
         n_sym = r * stride
-        return ef.fits_fused(n_sym) and dk.fits_pallas_decode(
-            jdec._bucket_cap(n_sym), stride)
+        # tuned=False: env kernel-tuning overrides must not leak into
+        # container shaping (identical bytes on every host of a pod)
+        return ef.fits_fused(n_sym, tuned=False) and dk.fits_pallas_decode(
+            jdec._bucket_cap(n_sym), stride, tuned=False)
 
     rows = max(1, min(height, rows))
     while rows >= 2 and not fast(rows):
@@ -118,7 +120,8 @@ MIN_DEVICE_LANES = 32
 
 
 def _resolve_backend(backend: str, single: bool = False,
-                     lanes: int | None = None) -> str:
+                     lanes: int | None = None,
+                     cfg: CodecConfig = REV2) -> str:
     """backend='auto': pick the fastest engine for the workload shape.
 
     Every backend emits identical bytes, so this is pure policy:
@@ -130,8 +133,14 @@ def _resolve_backend(backend: str, single: bool = False,
       scan runs far below the reference's 4 MP/s (`llcomp.hpp:390-448`)
       while the native runtime matches it per core.
     """
+    if backend == "native" and cfg != REV2:
+        # the C++ runtime is compiled for the rev-2 constants only; a
+        # non-default cfg would be silently ignored (wrong bytes)
+        raise ValueError("backend='native' supports the rev-2 cfg only")
     if backend != "auto":
         return backend
+    if cfg != REV2:
+        return "jax"  # only the jax/oracle engines honor a custom cfg
     import jax
 
     if jax.default_backend() == "tpu":
@@ -178,7 +187,7 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
         raise ValueError(f"unsupported revision {revision}")
 
     if slices in (None, 1):
-        backend = _resolve_backend(backend, single=True)
+        backend = _resolve_backend(backend, single=True, cfg=cfg)
         if primed or seeded:
             # the prior/seed are properties of the *sliced* container
             # (flag bits 0/1); a single reference-compatible stream has
@@ -209,7 +218,7 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
             raise ValueError(f"slices must be >= 1 or 'auto', got {n}")
         slice_h = max(1, -(-H // n))
     bounds = container.slice_bounds(H, slice_h)
-    backend = _resolve_backend(backend, lanes=len(bounds))
+    backend = _resolve_backend(backend, lanes=len(bounds), cfg=cfg)
     if primed is None:
         primed = len(bounds) > 1 and _pick_primed(img, cfg)
     if seeded is None:
@@ -282,12 +291,13 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "auto",
     corruption.
     """
     data = bytes(data)
+    requested = backend
     if container.is_sliced(data):
         streams, W, H, C, slice_h, flags, seed_blob = container.unpack_sliced(
             data, cfg)
         bounds = container.slice_bounds(H, slice_h)
-        backend = _resolve_backend(backend, lanes=len(bounds))
-        if backend == "jax":
+        backend = _resolve_backend(backend, lanes=len(bounds), cfg=cfg)
+        if backend == "jax" and requested == "auto":
             # geometries whose line ring exceeds the decode kernel's VMEM
             # budget would land on the XLA fallback (~0.4 MP/s, 10x below
             # the reference) — the native runtime decodes them at full
@@ -327,7 +337,7 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "auto",
         return rev0.decode(data)
 
     payload, W, H, C = container.unpack_single(data, cfg)
-    backend = _resolve_backend(backend, single=True)
+    backend = _resolve_backend(backend, single=True, cfg=cfg)
 
     def _single():
         if backend == "oracle":
@@ -386,7 +396,7 @@ def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2,
                     [streams[i] for i in idxs], (rows, W, C), primed=primed,
                     seed=seed,
                 )
-            except ValueError:
+            except ValueError as batch_err:
                 lanes = np.zeros((len(idxs), rows, W, C), np.uint8)
                 shape_bad = []
                 for k, i in enumerate(idxs):
@@ -397,9 +407,11 @@ def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2,
                     except ValueError:
                         shape_bad.append(i)
                 if strict:
-                    raise ValueError(
-                        f"corrupt stream in slices {sorted(shape_bad)}"
-                    )
+                    if shape_bad:
+                        raise ValueError(
+                            "corrupt stream in slices "
+                            f"{sorted(shape_bad)}") from batch_err
+                    raise  # batch-level failure with no culprit slice
                 bad_slices.extend(shape_bad)
         else:
             lanes, bad = decode.decode_lanes(

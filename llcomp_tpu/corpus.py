@@ -143,7 +143,7 @@ def compress_corpus(
                                           seed=seed_tab)
             for _, lanes in chunks
         ]
-    elif api._resolve_backend(backend) == "native":
+    elif api._resolve_backend(backend, cfg=cfg) == "native":
         from . import host
 
         all_streams = [host.encode_images(lanes, primed=primed,
@@ -201,7 +201,7 @@ def decompress_corpus(
     """Decompress many sliced containers, batching stripes across images."""
     from . import decode as jdec
 
-    native = mesh is None and api._resolve_backend(backend) == "native"
+    native = mesh is None and api._resolve_backend(backend, cfg=cfg) == "native"
 
     metas = [container.unpack_sliced(b, cfg) for b in blobs]
     # group key includes the seed blob so every batch is single-table

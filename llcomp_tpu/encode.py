@@ -811,8 +811,12 @@ def _pipelined_fused(batches: list[np.ndarray], cfg: CodecConfig,
         try:
             byts_d, lens_np = _fused_collect(mk, lens, ovf, n_sym)
         except FusedOverflow:
-            ready[bi] = encode_lanes(imgs, cfg, engine="pallas",
-                                     primed=primed, seed=seed)
+            if fits_pallas_budget(n_sym):
+                ready[bi] = encode_lanes(imgs, cfg, engine="pallas",
+                                         primed=primed, seed=seed)
+            else:  # ultra-wide + incompressible: the XLA engine only
+                ready[bi] = encode_lanes(imgs, cfg, engine="xla",
+                                         primed=primed, seed=seed)
             return
         ready[bi] = (imgs.shape[0], byts_d, lens_np)
 
@@ -837,7 +841,7 @@ def _pipelined_fused(batches: list[np.ndarray], cfg: CodecConfig,
 
 def encode_lanes_pipelined(
     batches: list[np.ndarray], cfg: CodecConfig = REV2, primed: bool = False,
-    seed=None,
+    seed=None, engine: str = "auto",
 ) -> list[list[bytes]]:
     """Encode several lane batches with cross-batch overlap (Pallas path).
 
@@ -845,10 +849,15 @@ def encode_lanes_pipelined(
     the previous batch's results are collected, so host-side grouping,
     uploads and the per-batch count sync overlap earlier batches' device
     work.  Sustained throughput ~= max(stage) instead of sum(stages).
+    engine: 'auto' (fused on TPU when every batch fits), 'fused', or
+    'pallas' (the sort chain — also what the FusedOverflow fallback
+    requests, so an overflowing batch is never re-run through the kernel
+    that just overflowed).
     """
     from .pallas import encode_fused as ef
 
-    engine = os.environ.get("LLCT_ENCODE_ENGINE", "fused")
+    if engine == "auto":
+        engine = os.environ.get("LLCT_ENCODE_ENGINE", "fused")
     if (engine == "fused"
             and jax.default_backend() == "tpu"
             and all(ef.fits_fused(int(np.prod(b.shape[1:])))
@@ -1016,7 +1025,7 @@ def encode_lanes(
         if S > chunk:
             parts = encode_lanes_pipelined(
                 [imgs[i : i + chunk] for i in range(0, S, chunk)], cfg,
-                primed=primed, seed=seed,
+                primed=primed, seed=seed, engine="pallas",
             )
             return [b for part in parts for b in part]
         outcap = _outcap(n_sym)

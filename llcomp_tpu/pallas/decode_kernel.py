@@ -926,11 +926,17 @@ def _pick_nsub(G: int, cap: int, stride: int = 1536) -> int:
     return 1 << (n.bit_length() - 1)   # round down to a power of two
 
 
-def fits_pallas_decode(cap: int, stride: int) -> bool:
+def fits_pallas_decode(cap: int, stride: int, tuned: bool = True) -> bool:
     """True iff one lane-group fits the measured VMEM budget (ultra-wide
     stripes fall back to the XLA decode engines, mirroring
-    encode.fits_pallas_budget)."""
-    return _group_vmem(cap, stride) <= VMEM_BUDGET
+    encode.fits_pallas_budget).  ``tuned=False`` uses the default budget
+    and chunk size regardless of probe env overrides — container-shaping
+    policy must be a pure function of geometry on every host."""
+    if tuned:
+        return _group_vmem(cap, stride) <= VMEM_BUDGET
+    base = (NS4 * 512 + (32 + 3 * stride) * 512 + 2 * cap * 128
+            + 2 * 256 * 512 + 64 * 1024)
+    return base <= 112 * 1024 * 1024
 
 
 def _decode_groups_impl(data, H, W, C, cfg, ablate, primed=False,

@@ -94,7 +94,7 @@ def _round16(n: int) -> int:
     return -(-n // 16) * 16
 
 
-def pick_geometry(n_sym: int, G: int) -> tuple[int, int]:
+def pick_geometry(n_sym: int, G: int, tuned: bool = True) -> tuple[int, int]:
     """(NSUB, mcap): markers == emitted bytes, so mcap bounds the
     compression ratio a lane may have before the sticky overflow flag
     forces the sort-chain fallback.  Preference order: the hard coder
@@ -102,13 +102,16 @@ def pick_geometry(n_sym: int, G: int) -> tuple[int, int]:
     NSUB, else 0.85*n_sym (covers everything but near-incompressible
     noise) at a larger NSUB — sublane packing is ~1.55x per NSUB
     doubling (docs/DESIGN.md), worth more than the rare fallback.
-    Env overrides: LLCT_FUSED_MCAP, LLCT_FUSED_NSUB (probe tools)."""
-    env_m = os.environ.get("LLCT_FUSED_MCAP")
+    Env overrides: LLCT_FUSED_MCAP, LLCT_FUSED_NSUB (probe tools);
+    ``tuned=False`` ignores them — container-shaping policy
+    (api.pick_slice_height) must be a pure function of geometry so every
+    host in a pod builds identical containers."""
+    env_m = os.environ.get("LLCT_FUSED_MCAP") if tuned else None
     full = _round16(n_sym + n_sym // 2 + 80)
     safe = _round16(max(n_sym - (n_sym >> 3) - (n_sym >> 5) + 320, 2 * FIFO))
     if env_m:
         full = safe = max(2 * FIFO, _round16(int(env_m)))
-    env_n = os.environ.get("LLCT_FUSED_NSUB")
+    env_n = os.environ.get("LLCT_FUSED_NSUB") if tuned else None
     if env_n:
         n = max(1, min(8, int(env_n)))
         n = 1 << (n.bit_length() - 1)
@@ -133,12 +136,14 @@ def pick_mcap(n_sym: int) -> int:
     return pick_geometry(n_sym, 8)[1]
 
 
-def fits_fused(n_sym: int) -> bool:
+def fits_fused(n_sym: int, tuned: bool = True) -> bool:
     """The fused kernel has no slot budget (nothing scales with n_sym*K);
     its limits are the marker/byte position field (2^21) and one group
-    fitting VMEM at the safe marker capacity."""
+    fitting VMEM at the safe marker capacity.  ``tuned=False`` ignores
+    the probe env overrides (container-shaping policy must be
+    host-independent)."""
     outcap = n_sym + n_sym // 2 + 64
-    nsub, mcap = pick_geometry(n_sym, 8)
+    nsub, mcap = pick_geometry(n_sym, 8, tuned=tuned)
     return outcap < (1 << 21) and nsub * _group_vmem(mcap) <= VMEM_BUDGET
 
 
