@@ -437,8 +437,23 @@ def main() -> int:
         # width 8192 used to fall off the kernel path at 0.37 MP/s.
         for (eh, ew, ec, n_img) in ((2048, 2048, 3, 2), (256, 256, 4, 32),
                                     (256, 8192, 3, 2)):
-            extras[f"{eh}x{ew}x{ec}"] = _run_config_subprocess(
-                eh, ew, ec, n_img, slice_h, primed)
+            r = _run_config_subprocess(eh, ew, ec, n_img, slice_h, primed)
+            # sick-worker guard: the remote worker oscillates through
+            # 100x-slowdown windows (docs/DESIGN.md hazards); a config
+            # that measured far below any plausible healthy number gets
+            # ONE retry after the worker answers a trivial probe fast
+            # (the r4a capture lost 2048² and 8192-wide to exactly this:
+            # 0.13 MP/s with roundtrip_exact=true, sandwiched around a
+            # healthy 256x4)
+            if (r.get("roundtrip_exact") and r.get("encode_mps", 9) < 1.0
+                    and os.environ.get("BENCH_EXTRA_RETRY", "1") != "0"):
+                _await_fast_worker()
+                r2 = _run_config_subprocess(eh, ew, ec, n_img, slice_h,
+                                            primed)
+                if r2.get("encode_mps", 0) > r.get("encode_mps", 0):
+                    r2["retried"] = True
+                    r = r2
+            extras[f"{eh}x{ew}x{ec}"] = r
         result["extra_configs"] = extras
 
         # ratio on a 1/f-spectrum "natural" corpus (the sinusoid corpus
@@ -568,6 +583,27 @@ def _decode_device_only(streams, shape, primed, seed_tab=None) -> float:
     for imgs, err in inflight:
         imgs.block_until_ready()
     return time.time() - t0
+
+
+def _await_fast_worker(max_wait_s: int = 600) -> None:
+    """Wait until a trivial compute answers quickly in a subprocess (the
+    sick-worker windows pass within minutes; tools/chip_smoke.py uses the
+    same gate before each config)."""
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(int((jnp.arange(1<<20)*3).sum()) % 97)")
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        t1 = time.time()
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=90,
+                               capture_output=True)
+            if r.returncode == 0 and time.time() - t1 < 30:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(45)
 
 
 def _run_config_subprocess(H: int, W: int, CH: int, n_images: int,
