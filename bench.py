@@ -61,6 +61,14 @@ _FORCED_CPU_FALLBACK = False
 if (os.environ.get("JAX_PLATFORMS") not in ("cpu",)
         and os.environ.get("BENCH_SKIP_LIVENESS") != "1"
         and not _tpu_tunnel_alive()):
+    if os.environ.get("BENCH_CONFIG_CHILD") == "1":
+        # an extra-config child must NEVER silently measure on CPU: the
+        # r4a capture recorded 0.17 MP/s "TPU" numbers that were really
+        # CPU fallbacks behind a flaky tunnel handshake.  Report the
+        # condition; the parent health-gates and retries.
+        print(json.dumps({"error": "tpu tunnel down (liveness probe)",
+                          "liveness_probe_s": _LIVENESS_PROBE_S}))
+        sys.exit(0)
     os.environ["JAX_PLATFORMS"] = "cpu"
     _FORCED_CPU_FALLBACK = True
 
@@ -445,8 +453,11 @@ def main() -> int:
             # (the r4a capture lost 2048² and 8192-wide to exactly this:
             # 0.13 MP/s with roundtrip_exact=true, sandwiched around a
             # healthy 256x4)
-            if (r.get("roundtrip_exact") and r.get("encode_mps", 9) < 1.0
-                    and os.environ.get("BENCH_EXTRA_RETRY", "1") != "0"):
+            bad = (("error" in r and "tunnel" in str(r.get("error")))
+                   or r.get("platform") == "cpu"
+                   or (r.get("roundtrip_exact")
+                       and r.get("encode_mps", 9) < 1.0))
+            if bad and os.environ.get("BENCH_EXTRA_RETRY", "1") != "0":
                 _await_fast_worker()
                 r2 = _run_config_subprocess(eh, ew, ec, n_img, slice_h,
                                             primed)
@@ -618,12 +629,14 @@ def _run_config_subprocess(H: int, W: int, CH: int, n_images: int,
     import subprocess
 
     timeout = int(os.environ.get("BENCH_CONFIG_TIMEOUT", "1800"))
+    env = dict(os.environ)
+    env["BENCH_CONFIG_CHILD"] = "1"
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--config",
              str(H), str(W), str(CH), str(n_images), str(slice_h),
              "1" if primed else "0"],
-            timeout=timeout, capture_output=True, text=True,
+            timeout=timeout, capture_output=True, text=True, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         for line in reversed((r.stdout or "").strip().splitlines()):
@@ -702,6 +715,7 @@ def _run_config(H: int, W: int, CH: int, n_images: int, slice_h: int,
     enc_base = {(2048, 3): 3.8, (1024, 3): 4.1, (256, 4): 2.5}.get((H, CH), 4.0)
     dec_base = {(2048, 3): 3.1, (1024, 3): 3.4, (256, 4): 2.3}.get((H, CH), 3.5)
     return {
+        "platform": jax.devices()[0].platform,
         "encode_mps": round(mp / enc_s, 3),
         "decode_mps_e2e": round(mp / dec_s, 3),
         "encode_vs_baseline": round(mp / enc_s / enc_base, 3),
