@@ -140,7 +140,36 @@ def make_natural(h, w, c=3, seed=42):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+# Progressive result for the watchdog: the tunnel can hang any device call
+# indefinitely (no error), and a capture that dies with NO output line is
+# worse than one that reports what it measured.  The watchdog daemon thread
+# prints the partial result and exits the process at the deadline; it can
+# do so even while the main thread is stuck inside a blocking runtime call.
+_PARTIAL: dict = {}
+
+
+def _start_watchdog() -> None:
+    import threading
+
+    deadline = int(os.environ.get("BENCH_DEADLINE_S", "2100"))
+
+    def _fire():
+        time.sleep(deadline)
+        if _PARTIAL.get("_done"):
+            return
+        out = {k: v for k, v in _PARTIAL.items() if not k.startswith("_")}
+        if "metric" not in out:
+            out.update({"metric": "encode_mps_512", "value": 0.0,
+                        "unit": "MP/s", "vs_baseline": 0.0})
+        out["watchdog_timeout_s"] = deadline
+        print(json.dumps(out), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=_fire, daemon=True).start()
+
+
 def main() -> int:
+    _start_watchdog()
     H = W = int(os.environ.get("BENCH_SIZE", "512"))
     CH = int(os.environ.get("BENCH_CHANNELS", "3"))
     n_images = int(os.environ.get("BENCH_IMAGES", "16"))
@@ -292,6 +321,7 @@ def main() -> int:
             pass
     if _FORCED_CPU_FALLBACK:
         result["tpu_tunnel_down"] = True  # measured on CPU: chip unreachable
+    _PARTIAL.update(result)
 
     # -- native host runtime (the framework's CPU production path) -------
     try:
@@ -425,6 +455,7 @@ def main() -> int:
             )
             if not ok:
                 result["vs_baseline"] = 0.0
+            _PARTIAL.update(result)
         except Exception as e:  # decode failure = hard fail
             result["roundtrip_exact"] = False
             result["decode_error"] = str(e)[:200]
@@ -438,6 +469,8 @@ def main() -> int:
     # caps the blast radius at one config.
     if os.environ.get("BENCH_EXTRA", "1") != "0" and CH == 3 and H == 512:
         extras = {}
+        result["extra_configs"] = extras  # shared dict: watchdog partials
+        _PARTIAL.update(result)          # include configs done so far
         # image counts fill whole 1024-lane kernel groups: 256x256x4 at
         # 8-row stripes has 32 stripes/image, so 16 images = half a group
         # padded to full (measured ~2x encode loss vs a filled group).
@@ -465,7 +498,6 @@ def main() -> int:
                     r2["retried"] = True
                     r = r2
             extras[f"{eh}x{ew}x{ec}"] = r
-        result["extra_configs"] = extras
 
         # ratio on a 1/f-spectrum "natural" corpus (the sinusoid corpus
         # above flatters ratio; this is the honest compression number).
@@ -507,6 +539,7 @@ def main() -> int:
         from llcomp_tpu import profiling
 
         result["stage_profile"] = profiling.stages.report()
+    _PARTIAL["_done"] = True
     print(json.dumps(result))
     return 0
 
