@@ -69,6 +69,10 @@ def build(force: bool = False) -> pathlib.Path:
 
 def load_library() -> ctypes.CDLL:
     global _lib
+    if os.environ.get("LLCT_NO_NATIVE") == "1":
+        # ops/debug kill-switch: force every caller (api auto-routing,
+        # _native_available, tests) onto the pure jax/oracle engines
+        raise NativeBuildError("native runtime disabled via LLCT_NO_NATIVE=1")
     if _lib is None:
         lib = ctypes.CDLL(str(build()))
         lib.llct_bound.restype = ctypes.c_size_t

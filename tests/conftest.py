@@ -48,6 +48,22 @@ def make_noise(h, w, c=3, seed=0):
     return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables_between_modules():
+    """Release XLA CPU executables at module boundaries.
+
+    The full suite compiles several hundred programs into one process; past
+    ~150 tests the CPU backend dies (SIGABRT/SIGSEGV, no message) inside
+    ``backend_compile_and_load`` on the next large compile — deterministic
+    at the same test, independent of the native runtime (reproduced with
+    LLCT_NO_NATIVE=1), and absent in any subset run.  Dropping the jit
+    caches between modules keeps accumulated compiler state under the
+    threshold; cross-module recompiles cost ~1 min over the whole suite.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def photo_64():
     return make_photo(64, 64)
