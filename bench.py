@@ -31,6 +31,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 
 _LIVENESS_PROBE_S: float | None = None
+_LIVENESS_ATTEMPTS: int = 0
 
 
 def _tpu_tunnel_alive(timeout_s: int = 150) -> bool:
@@ -38,23 +39,40 @@ def _tpu_tunnel_alive(timeout_s: int = 150) -> bool:
     jax: the tunneled backend hangs jax.devices() indefinitely when the
     link is down (no error), which would hang the whole benchmark.  The
     probe's latency is recorded in the JSON (VERDICT r03: a sick-worker
-    capture must be distinguishable from a regression after the fact)."""
+    capture must be distinguishable from a regression after the fact).
+
+    The tunnel has flaky windows where a NEW process handshake takes
+    minutes while established clients run at full speed (docs/DESIGN.md
+    round-4 notes) — one timed-out probe put the r4b headline on a CPU
+    fallback while the chip was fine.  So a failed probe RETRIES with a
+    longer timeout until BENCH_LIVENESS_BUDGET_S (default 600 s) is
+    spent; only then is the tunnel declared down."""
     import subprocess
 
-    global _LIVENESS_PROBE_S
-    t0 = time.time()
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; jax.devices(); "
-             "print(int((jnp.arange(1<<20)*3).sum()) % 97)"],
-            timeout=timeout_s, capture_output=True,
-        )
-        _LIVENESS_PROBE_S = round(time.time() - t0, 1)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        _LIVENESS_PROBE_S = float(timeout_s)
-        return False
+    global _LIVENESS_PROBE_S, _LIVENESS_ATTEMPTS
+    budget = float(os.environ.get("BENCH_LIVENESS_BUDGET_S", "600"))
+    start = time.time()
+    attempt_s = float(timeout_s)
+    while True:
+        _LIVENESS_ATTEMPTS += 1
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; jax.devices(); "
+                 "print(int((jnp.arange(1<<20)*3).sum()) % 97)"],
+                timeout=attempt_s, capture_output=True,
+            )
+            _LIVENESS_PROBE_S = round(time.time() - t0, 1)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            _LIVENESS_PROBE_S = round(time.time() - t0, 1)
+        spent = time.time() - start
+        if spent + 30 + attempt_s > budget:
+            return False
+        time.sleep(30)  # let a flaky handshake window pass
+        attempt_s = min(attempt_s * 1.5, budget - (time.time() - start))
 
 
 _FORCED_CPU_FALLBACK = False
@@ -146,12 +164,15 @@ def make_natural(h, w, c=3, seed=42):
 # prints the partial result and exits the process at the deadline; it can
 # do so even while the main thread is stuck inside a blocking runtime call.
 _PARTIAL: dict = {}
+_DEADLINE_AT: float = float("inf")
 
 
 def _start_watchdog() -> None:
     import threading
 
+    global _DEADLINE_AT
     deadline = int(os.environ.get("BENCH_DEADLINE_S", "2100"))
+    _DEADLINE_AT = time.time() + deadline
 
     def _fire():
         time.sleep(deadline)
@@ -303,6 +324,8 @@ def main() -> int:
         # worker-health marker (VERDICT r03: a sick-worker capture must be
         # distinguishable from a regression): healthy ~5-10 s, sick 30+
         result["liveness_probe_s"] = _LIVENESS_PROBE_S
+        if _LIVENESS_ATTEMPTS > 1:
+            result["liveness_attempts"] = _LIVENESS_ATTEMPTS
     if on_tpu and os.environ.get("BENCH_DEVICE", "1") != "0":
         try:
             # raw tunnel download rate: decode e2e is bound by this link,
@@ -664,6 +687,11 @@ def _run_config_subprocess(H: int, W: int, CH: int, n_images: int,
     timeout = int(os.environ.get("BENCH_CONFIG_TIMEOUT", "1800"))
     env = dict(os.environ)
     env["BENCH_CONFIG_CHILD"] = "1"
+    # a child gets a shorter liveness budget than the parent's 600 s: the
+    # parent already health-gates and retries a failed config once, and
+    # three children each burning the full budget would blow the watchdog
+    env["BENCH_LIVENESS_BUDGET_S"] = str(min(
+        int(float(os.environ.get("BENCH_LIVENESS_BUDGET_S", "600"))), 240))
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--config",
