@@ -589,8 +589,12 @@ def _encode_device_only_fused(batches, slice_h, W, CH, primed,
         xs = jenc._stage_xs_fused(hg, dg, n_sym)
         res.append(ef.encode_fused_groups(
             xs, mcap, REV2, primed or seed_tab is not None, seed_tab))
-    done = [jenc._fused_collect(mk, lens, ovf, n_sym)
-            for mk, lens, ovf in res]
+    # one host sync for ALL batches' lens+ovf: production PCIe pays
+    # microseconds per sync, but this tunnel pays ~0.3 s RTT each — six
+    # serialized syncs here were masking ~40% of the device rate
+    fetched = jax.device_get([(lens, ovf) for _, lens, ovf in res])
+    done = [jenc._fused_collect(mk, lens_np, ovf_np, n_sym)
+            for (mk, _, _), (lens_np, ovf_np) in zip(res, fetched)]
     for b2, _ in done:
         b2.block_until_ready()
     return mp / (time.time() - t0)

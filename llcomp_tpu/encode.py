@@ -718,9 +718,17 @@ def _fused_launch(imgs: np.ndarray, cfg: CodecConfig = REV2,
 
 def _fused_collect(mk, lens, ovf, n_sym: int):
     """Sync lengths + overflow, expand markers at the actual cap, start
-    the D2H copy.  Returns (device bytes [G_out, NSUB, cap2, 128], lens)."""
-    lens_np = np.asarray(lens).reshape(-1)
-    if int(np.asarray(ovf).max(initial=0)):
+    the D2H copy.  Returns (device bytes [G_out, NSUB, cap2, 128], lens).
+
+    lens and ovf are fetched in ONE device_get (two serialized
+    np.asarray syncs cost two tunnel round-trips, ~0.3 s each here);
+    callers that already hold host copies may pass numpy arrays."""
+    if isinstance(lens, np.ndarray):
+        lens_np, ovf_np = lens, np.asarray(ovf)
+    else:
+        lens_np, ovf_np = jax.device_get((lens, ovf))
+    lens_np = lens_np.reshape(-1)
+    if int(ovf_np.max(initial=0)):
         raise FusedOverflow("marker buffer overflow (incompressible lane)")
     maxlen = int(lens_np.max(initial=1))
     outcap = _outcap(n_sym)
