@@ -117,6 +117,27 @@ def test_fused_engine_matches_oracle():
         assert outs[i] == oracle.encode(lanes[i])[6:], f"lane {i}"
 
 
+def test_fused_collect_prefetched_lens():
+    """_fused_collect accepts host-prefetched numpy lens/ovf (the bench's
+    device-only loop batches all batches' syncs into one device_get) and
+    must produce the same bytes as the device-array path."""
+    import jax
+
+    lanes = np.stack([make_photo(4, 8, seed=500 + i) for i in range(3)])
+    n_sym = int(np.prod(lanes.shape[1:]))
+    mk, lens, ovf = jenc._fused_launch(lanes, jenc.REV2, primed=False,
+                                       seed=None)
+    lens_np, ovf_np = jax.device_get((lens, ovf))
+    byts_d, ln = jenc._fused_collect(mk, lens_np, ovf_np, n_sym)
+    byts_ref, ln_ref = jenc._fused_collect(mk, lens, ovf, n_sym)
+    np.testing.assert_array_equal(ln, ln_ref)
+    np.testing.assert_array_equal(np.asarray(byts_d), np.asarray(byts_ref))
+    cap2 = byts_d.shape[2]
+    flat = np.asarray(byts_d).transpose(0, 1, 3, 2).reshape(-1, cap2)
+    for i in range(3):
+        assert flat[i, : ln[i]].tobytes() == oracle.encode(lanes[i])[6:]
+
+
 def test_fused_engine_multigroup():
     """>128 lanes exercises NSUB>1 sublane packing + model sectioning."""
     lanes = np.stack([make_photo(2, 8, seed=300 + i) for i in range(130)])
