@@ -33,6 +33,65 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 _LIVENESS_PROBE_S: float | None = None
 _LIVENESS_ATTEMPTS: int = 0
 
+# Progressive result for the watchdog: the tunnel can hang any device call
+# indefinitely (no error), and a capture that dies with NO output line is
+# worse than one that reports what it measured.  The watchdog daemon thread
+# prints the partial result and exits the process at the deadline; it can
+# do so even while the main thread is stuck inside a blocking runtime call.
+#
+# Armed AT IMPORT (VERDICT r04 #1a): the r04 driver capture died rc=124 with
+# zero output because the module-level liveness loop ran BEFORE the watchdog
+# started and the 2100 s deadline exceeded the driver's own budget.  The
+# deadline counts from process start and defaults safely under the shortest
+# plausible driver budget: r03's full run (~16-18 min by its own compile
+# accounting) was captured, r04 was killed somewhere past that — so ~19 min
+# of partials is strictly better than any longer silence.  Every section
+# below checks _remaining() before starting work it could not finish.
+_PARTIAL: dict = {}
+_T0: float = time.time()
+_DEADLINE_S: int = int(os.environ.get("BENCH_DEADLINE_S", "1150"))
+_DEADLINE_AT: float = _T0 + _DEADLINE_S
+
+
+def _remaining() -> float:
+    """Seconds left on the process-lifetime clock every section budgets
+    against (watchdog fires and emits the partial when it hits zero)."""
+    return _DEADLINE_AT - time.time()
+
+
+def _skip(section: str) -> None:
+    _PARTIAL.setdefault("skipped", []).append(section)
+
+
+class _SectionSkipped(Exception):
+    """Raised to bail out of a budget-gated section cleanly."""
+
+
+def _start_watchdog() -> None:
+    import threading
+
+    def _fire():
+        while True:
+            left = _DEADLINE_AT - time.time()
+            if left <= 0:
+                break
+            time.sleep(min(left, 30))
+        if _PARTIAL.get("_done"):
+            return
+        out = {k: v for k, v in _PARTIAL.items() if not k.startswith("_")}
+        if "metric" not in out:
+            out.update({"metric": "encode_mps_512", "value": 0.0,
+                        "unit": "MP/s", "vs_baseline": 0.0})
+        out["watchdog_timeout_s"] = _DEADLINE_S
+        print(json.dumps(out), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=_fire, daemon=True).start()
+
+
+if os.environ.get("BENCH_CONFIG_CHILD") != "1":
+    _start_watchdog()
+
 
 def _tpu_tunnel_alive(timeout_s: int = 150) -> bool:
     """Probe device liveness in a SUBPROCESS before this process touches
@@ -50,7 +109,11 @@ def _tpu_tunnel_alive(timeout_s: int = 150) -> bool:
     import subprocess
 
     global _LIVENESS_PROBE_S, _LIVENESS_ATTEMPTS
-    budget = float(os.environ.get("BENCH_LIVENESS_BUDGET_S", "600"))
+    # capped by the process deadline clock (VERDICT r04 #1c): retrying a
+    # flaky handshake is pointless past the point where no measurement
+    # could finish before the watchdog fires anyway
+    budget = min(float(os.environ.get("BENCH_LIVENESS_BUDGET_S", "600")),
+                 max(_remaining() - 540, 60))
     start = time.time()
     attempt_s = float(timeout_s)
     while True:
@@ -158,39 +221,7 @@ def make_natural(h, w, c=3, seed=42):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-# Progressive result for the watchdog: the tunnel can hang any device call
-# indefinitely (no error), and a capture that dies with NO output line is
-# worse than one that reports what it measured.  The watchdog daemon thread
-# prints the partial result and exits the process at the deadline; it can
-# do so even while the main thread is stuck inside a blocking runtime call.
-_PARTIAL: dict = {}
-_DEADLINE_AT: float = float("inf")
-
-
-def _start_watchdog() -> None:
-    import threading
-
-    global _DEADLINE_AT
-    deadline = int(os.environ.get("BENCH_DEADLINE_S", "2100"))
-    _DEADLINE_AT = time.time() + deadline
-
-    def _fire():
-        time.sleep(deadline)
-        if _PARTIAL.get("_done"):
-            return
-        out = {k: v for k, v in _PARTIAL.items() if not k.startswith("_")}
-        if "metric" not in out:
-            out.update({"metric": "encode_mps_512", "value": 0.0,
-                        "unit": "MP/s", "vs_baseline": 0.0})
-        out["watchdog_timeout_s"] = deadline
-        print(json.dumps(out), flush=True)
-        os._exit(0)
-
-    threading.Thread(target=_fire, daemon=True).start()
-
-
 def main() -> int:
-    _start_watchdog()
     H = W = int(os.environ.get("BENCH_SIZE", "512"))
     CH = int(os.environ.get("BENCH_CHANNELS", "3"))
     n_images = int(os.environ.get("BENCH_IMAGES", "16"))
@@ -377,6 +408,13 @@ def main() -> int:
     # Methodology: the backend elides re-execution of identical inputs, so
     # the compile/warm pass runs on `streams` and every TIMED pass decodes
     # streams of a fresh batch it has never seen (VERDICT r1 item 3).
+    if os.environ.get("BENCH_DECODE", "1") != "0" and _remaining() < 150:
+        # not enough clock left even for the warm decode pass: report the
+        # encode-only partial honestly instead of letting the watchdog cut
+        # a half-written decode number (VERDICT r04 #1c)
+        _skip("decode")
+        os.environ["BENCH_DECODE"] = "0"
+        result["roundtrip_exact"] = None
     if os.environ.get("BENCH_DECODE", "1") != "0":
         dec_engine = os.environ.get(
             "BENCH_DECODE_ENGINE", "pallas" if on_tpu else "decision"
@@ -420,10 +458,10 @@ def main() -> int:
             base_rounds = int(os.environ.get("BENCH_DECODE_ROUNDS", "3"))
             max_rounds = base_rounds + 2
             round_ = 0
-            while round_ < base_rounds or (
+            while (round_ < base_rounds or (
                 round_s and round_ < max_rounds
                 and (max(round_s) - min(round_s)) / max(round_s) > 0.25
-            ):
+            )) and (round_ == 0 or _remaining() > 150):
                 fbds = [fresh_batch(900 + round_ * 20 + r)
                         for r in range(reps)]
                 stds = _retry_blip(
@@ -461,7 +499,7 @@ def main() -> int:
             # device-side decode: kernels complete, pixel download excluded
             # (the tunnel moves decoded pixels at ~15 MB/s; PCIe is ~100x)
             if dec_engine == "pallas" and os.environ.get(
-                    "BENCH_DEVICE", "1") != "0":
+                    "BENCH_DEVICE", "1") != "0" and _remaining() > 120:
                 try:
                     fd = [fresh_batch(700 + r) for r in range(reps)]
                     sd = [s for st in jenc.encode_lanes_pipelined(
@@ -501,6 +539,12 @@ def main() -> int:
         # width 8192 used to fall off the kernel path at 0.37 MP/s.
         for (eh, ew, ec, n_img) in ((2048, 2048, 3, 2), (256, 256, 4, 32),
                                     (256, 8192, 3, 2)):
+            # each child needs import + device init (~40 s) + compile +
+            # measurement; starting one that cannot finish just converts
+            # the remaining clock into a dead child (VERDICT r04 #1c)
+            if _remaining() < 210:
+                _skip(f"extra:{eh}x{ew}x{ec}")
+                continue
             r = _run_config_subprocess(eh, ew, ec, n_img, slice_h, primed)
             # sick-worker guard: the remote worker oscillates through
             # 100x-slowdown windows (docs/DESIGN.md hazards); a config
@@ -513,8 +557,10 @@ def main() -> int:
                    or r.get("platform") == "cpu"
                    or (r.get("roundtrip_exact")
                        and r.get("encode_mps", 9) < 1.0))
-            if bad and os.environ.get("BENCH_EXTRA_RETRY", "1") != "0":
-                _await_fast_worker()
+            if (bad and os.environ.get("BENCH_EXTRA_RETRY", "1") != "0"
+                    and _remaining() > 300):
+                _await_fast_worker(max_wait_s=int(
+                    min(600, _remaining() - 240)))
                 r2 = _run_config_subprocess(eh, ew, ec, n_img, slice_h,
                                             primed)
                 if r2.get("encode_mps", 0) > r.get("encode_mps", 0):
@@ -529,6 +575,9 @@ def main() -> int:
         # round-4 measurement) through the native runtime — bytes are
         # engine-identical and ratio needs no TPU time or compiles.
         try:
+            if _remaining() < 75:
+                _skip("natural_ratio")
+                raise _SectionSkipped
             from llcomp_tpu import api, host
 
             nat = [make_natural(H, W, c=CH, seed=8200 + i) for i in range(8)]
@@ -555,6 +604,8 @@ def main() -> int:
             result["compression_ratio_natural_singlestream"] = round(
                 sum(im.nbytes for im in nat) / sum(len(s) for s in ns1), 3
             )
+        except _SectionSkipped:
+            pass
         except Exception as e:
             result["natural_error"] = str(e)[:120]
 
@@ -562,6 +613,9 @@ def main() -> int:
         from llcomp_tpu import profiling
 
         result["stage_profile"] = profiling.stages.report()
+    if "skipped" in _PARTIAL:
+        result["skipped"] = _PARTIAL["skipped"]
+    result["bench_wall_s"] = round(time.time() - _T0, 1)
     _PARTIAL["_done"] = True
     print(json.dumps(result))
     return 0
@@ -688,14 +742,19 @@ def _run_config_subprocess(H: int, W: int, CH: int, n_images: int,
     """
     import subprocess
 
-    timeout = int(os.environ.get("BENCH_CONFIG_TIMEOUT", "1800"))
+    # the child's wall budget comes from the parent's remaining clock: a
+    # child the parent cannot wait out is a dead child plus a dead capture
+    # (VERDICT r04 #1c — three children x 1800 s blew every budget)
+    timeout = int(min(int(os.environ.get("BENCH_CONFIG_TIMEOUT", "900")),
+                      max(_remaining() - 60, 60)))
     env = dict(os.environ)
     env["BENCH_CONFIG_CHILD"] = "1"
     # a child gets a shorter liveness budget than the parent's 600 s: the
     # parent already health-gates and retries a failed config once, and
     # three children each burning the full budget would blow the watchdog
-    env["BENCH_LIVENESS_BUDGET_S"] = str(min(
-        int(float(os.environ.get("BENCH_LIVENESS_BUDGET_S", "600"))), 240))
+    env["BENCH_LIVENESS_BUDGET_S"] = str(int(min(
+        float(os.environ.get("BENCH_LIVENESS_BUDGET_S", "600")), 240,
+        max(timeout - 240, 60))))
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--config",
