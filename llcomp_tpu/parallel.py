@@ -20,6 +20,7 @@ as long as every device has enough lanes to fill — which is why
 """
 from __future__ import annotations
 
+import os
 
 import numpy as np
 
@@ -46,13 +47,104 @@ def _pad_lanes(n: int, n_dev: int) -> int:
     return -(-n // n_dev) * n_dev
 
 
+def _encode_lanes_sharded_fused(
+    lanes: np.ndarray, mesh: Mesh, cfg: CodecConfig, primed: bool, seed,
+) -> list[bytes]:
+    """Fused-engine sharded encode: each device runs the fused Pallas
+    kernel (model + range coder in VMEM, pallas/encode_fused.py) on its
+    own whole lane groups — shard_map over the pallas_call, zero
+    collectives, byte-identical to the single-device fused engine.
+
+    This is the production pod path (VERDICT r04 #3): the XLA-scan
+    shard_map below is ~2-3x slower per device on TPU hardware, so a pod
+    of chips each running the scan would scale the wrong number.  CPU
+    meshes run this through Pallas interpret mode (tests) but default to
+    the scan, which is faster off-chip.
+
+    Raises ``encode.FusedOverflow`` (near-incompressible lanes); the
+    caller falls back to the scan path, which has no marker cap and
+    produces identical bytes.
+    """
+    from .pallas import encode_fused as ef
+
+    S = lanes.shape[0]
+    sh, W, C = lanes.shape[1], lanes.shape[2], lanes.shape[3]
+    n_sym = sh * W * C
+    n_dev = mesh.devices.size
+    # every device must hold a whole number of NSUB*128-lane kernel groups
+    NSUB, mcap = ef.pick_geometry(n_sym, max(1, -(-S // (128 * n_dev))))
+    block = NSUB * 128 * n_dev
+    Sp = -(-S // block) * block
+    if Sp != S:  # pad with copies of lane 0; padded outputs are dropped
+        lanes = np.concatenate([lanes, np.repeat(lanes[:1], Sp - S, axis=0)])
+    flat = jencode._flat_host(np.ascontiguousarray(lanes, dtype=np.uint8))
+    dev = jax.device_put(flat, NamedSharding(mesh, P(LANE_AXIS)))
+    restart = primed or seed is not None
+
+    def _shard(x):
+        g = jencode._regroup_device_nsub(x, NSUB)
+        hg, dg, _ = jencode._stage_precompute_g(g, sh, W, C, cfg)
+        xs = jencode._stage_xs_fused(hg, dg, n_sym)
+        return ef.encode_fused_groups(xs, mcap, cfg, restart, seed)
+
+    fn = jax.jit(
+        jax.shard_map(
+            _shard, mesh=mesh,
+            in_specs=P(LANE_AXIS),
+            out_specs=(P(LANE_AXIS), P(LANE_AXIS), P(LANE_AXIS)),
+            check_vma=False,
+        )
+    )
+    mk, lens, ovf = fn(dev)
+    lens_np, ovf_np = jax.device_get((lens, ovf))
+    if int(np.asarray(ovf_np).max(initial=0)):
+        raise jencode.FusedOverflow("marker overflow on the sharded path")
+    lens_np = np.asarray(lens_np).reshape(-1)
+    outcap = jencode._outcap(n_sym)
+    maxlen = int(lens_np.max(initial=1))
+    # same geometric cap ladder as the single-device path: the expansion
+    # compiles once per cap value, nearby batch maxima share a bucket
+    cap2 = 1024
+    while cap2 < maxlen:
+        cap2 = min(outcap, -(-(cap2 + cap2 // 2) // 1024) * 1024)
+    cap2 = min(outcap, cap2)
+    exp = jax.jit(
+        jax.shard_map(
+            lambda m: coder.expand_markers(m, cap2), mesh=mesh,
+            in_specs=P(LANE_AXIS), out_specs=P(LANE_AXIS),
+        )
+    )
+    byts = np.asarray(exp(mk))
+    byts = byts.transpose(0, 1, 3, 2).reshape(-1, cap2)
+    return [byts[s, : lens_np[s]].tobytes() for s in range(S)]
+
+
 def encode_lanes_sharded(
     lanes: np.ndarray, mesh: Mesh, cfg: CodecConfig = REV2,
-    primed: bool = False, seed=None,
+    primed: bool = False, seed=None, engine: str = "auto",
 ) -> list[bytes]:
     """Encode equal-shaped lanes [S, H, W, C], sharded over the mesh lane
     axis.  ``seed``: optional [121, 8] stored-seed table (flag bit 1) —
-    replicated to every device as a jit constant, like the static prior."""
+    replicated to every device as a jit constant, like the static prior.
+
+    ``engine``: "auto" dispatches the fused Pallas kernel per device on
+    TPU meshes (the production pod path) and the XLA scan on CPU meshes;
+    "fused"/"xla" force one (the fused engine off-chip runs in Pallas
+    interpret mode — slow, test-only)."""
+    n_sym = int(np.prod(lanes.shape[1:]))
+    if engine != "xla":
+        from .pallas import encode_fused as ef
+
+        platform = next(iter(mesh.devices.flat)).platform
+        want = engine == "fused" or (
+            engine == "auto" and platform == "tpu"
+            and os.environ.get("LLCT_ENCODE_ENGINE", "fused") == "fused")
+        if want and ef.fits_fused(n_sym, tuned=False):
+            try:
+                return _encode_lanes_sharded_fused(
+                    lanes, mesh, cfg, primed, seed)
+            except jencode.FusedOverflow:
+                pass  # scan path below: no marker cap, identical bytes
     S = lanes.shape[0]
     n_dev = mesh.devices.size
     Sp = _pad_lanes(S, n_dev)
