@@ -163,6 +163,14 @@ if _FORCED_CPU_FALLBACK:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize imports jax at interpreter startup, BEFORE this
+# process sets JAX_COMPILATION_CACHE_DIR — jax snapshots the env at import,
+# so the env var alone leaves the persistent cache silently DISABLED
+# ("cache is disabled/not initialized"; measured round 5).  That is why
+# every extra-config child paid 73-198 s of compile in r04 (VERDICT #5/#6):
+# the only way to enable the cache here is the explicit config update.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # honor JAX_PLATFORMS=cpu for off-chip smoke runs (the axon sitecustomize
 # re-registers the TPU platform, so the env var alone is not enough)

@@ -36,6 +36,8 @@ import functools
 import numpy as np
 
 import jax
+
+from . import _env  # noqa: F401  (axon env repair: persistent cache)
 import jax.numpy as jnp
 
 from . import profiling

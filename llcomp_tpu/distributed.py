@@ -24,6 +24,8 @@ import numpy as np
 
 import jax
 
+from . import _env  # noqa: F401  (axon env repair: persistent cache)
+
 from . import container
 from .core.config import REV2, CodecConfig
 

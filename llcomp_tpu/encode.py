@@ -33,6 +33,8 @@ import os
 import numpy as np
 
 import jax
+
+from . import _env  # noqa: F401  (axon env repair: persistent cache)
 import jax.numpy as jnp
 
 from . import coder, profiling

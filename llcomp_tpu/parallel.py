@@ -25,6 +25,8 @@ import os
 import numpy as np
 
 import jax
+
+from . import _env  # noqa: F401  (axon env repair: persistent cache)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import coder, container

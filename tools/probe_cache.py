@@ -17,6 +17,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import jax
 import numpy as np
 
+# the axon sitecustomize imports jax at interpreter startup, BEFORE any
+# user code can set JAX_COMPILATION_CACHE_DIR — the env var is never read
+# and the cache silently stays disabled (measured: "cache is disabled/not
+# initialized" on every TPU process).  The explicit config update is the
+# only way to enable it here.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
