@@ -20,6 +20,15 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: cache-loaded executables skip XLA CPU
+# compilation entirely, which both cuts suite wall time and widens the
+# margin on the cumulative-compile SIGABRT (the per-module clear_caches
+# below).  Must be set via jax.config — sitecustomize imports jax before
+# this file runs, so the env var alone is ignored (llcomp_tpu/_env.py).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp"),
+)
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
