@@ -545,15 +545,31 @@ def main() -> int:
         # padded to full (measured ~2x encode loss vs a filled group).
         # 256x8192x3 is the round-4 ultra-wide config (VERDICT r03 #4):
         # width 8192 used to fall off the kernel path at 0.37 MP/s.
+        # Extras run IN-PROCESS by default (round 5): the parent's
+        # established TPU client dodges the child's fresh handshake (2+ min
+        # in the tunnel's flaky windows), python import (~30-60 s) and
+        # liveness probe (<=240 s) — the r5a capture lost 256x4 to exactly
+        # that overhead stack (child timeout at 599 s while the parent was
+        # healthy).  The fault blast radius that motivated child isolation
+        # (r02's NSUB=5 kernel kill) is now pre-gated by tools/chip_smoke.py
+        # + pow2 NSUB enforcement; a fault here still leaves the watchdog's
+        # partial with every config measured so far.  BENCH_EXTRA_ISOLATE=1
+        # restores children; a bad first measurement retries ISOLATED.
+        isolate = os.environ.get("BENCH_EXTRA_ISOLATE", "0") == "1"
         for (eh, ew, ec, n_img) in ((2048, 2048, 3, 2), (256, 256, 4, 32),
                                     (256, 8192, 3, 2)):
-            # each child needs import + device init (~40 s) + compile +
-            # measurement; starting one that cannot finish just converts
-            # the remaining clock into a dead child (VERDICT r04 #1c)
-            if _remaining() < 210:
+            if _remaining() < (210 if isolate else 90):
                 _skip(f"extra:{eh}x{ew}x{ec}")
                 continue
-            r = _run_config_subprocess(eh, ew, ec, n_img, slice_h, primed)
+            if isolate:
+                r = _run_config_subprocess(eh, ew, ec, n_img, slice_h,
+                                           primed, seeded)
+            else:
+                try:
+                    r = _run_config(eh, ew, ec, n_img, slice_h, primed,
+                                    seeded)
+                except Exception as e:
+                    r = {"error": str(e)[:160]}
             # sick-worker guard: the remote worker oscillates through
             # 100x-slowdown windows (docs/DESIGN.md hazards); a config
             # that measured far below any plausible healthy number gets
@@ -570,11 +586,12 @@ def main() -> int:
                 _await_fast_worker(max_wait_s=int(
                     min(600, _remaining() - 240)))
                 r2 = _run_config_subprocess(eh, ew, ec, n_img, slice_h,
-                                            primed)
+                                            primed, seeded)
                 if r2.get("encode_mps", 0) > r.get("encode_mps", 0):
                     r2["retried"] = True
                     r = r2
             extras[f"{eh}x{ew}x{ec}"] = r
+            _PARTIAL.update(result)
 
         # ratio on a 1/f-spectrum "natural" corpus (the sinusoid corpus
         # above flatters ratio; this is the honest compression number).
@@ -740,7 +757,8 @@ def _await_fast_worker(max_wait_s: int = 600) -> None:
 
 
 def _run_config_subprocess(H: int, W: int, CH: int, n_images: int,
-                           slice_h: int, primed: bool) -> dict:
+                           slice_h: int, primed: bool,
+                           seeded: bool = False) -> dict:
     """Run one extra-geometry measurement in an isolated child process.
 
     The child re-execs this script with ``--config``; its last stdout line
@@ -767,7 +785,7 @@ def _run_config_subprocess(H: int, W: int, CH: int, n_images: int,
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--config",
              str(H), str(W), str(CH), str(n_images), str(slice_h),
-             "1" if primed else "0"],
+             "1" if primed else "0", "1" if seeded else "0"],
             timeout=timeout, capture_output=True, text=True, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -778,24 +796,34 @@ def _run_config_subprocess(H: int, W: int, CH: int, n_images: int,
         tail = (r.stderr or "").strip().splitlines()
         return {"error": (tail[-1][:160] if tail
                           else f"no output, rc={r.returncode}")}
-    except subprocess.TimeoutExpired:
-        return {"error": f"timeout after {timeout}s"}
+    except subprocess.TimeoutExpired as e:
+        # keep the child's partial stdout: "timeout" alone cannot be
+        # diagnosed after the fact (the r5a capture lost 256x4 to an
+        # opaque child timeout)
+        part = e.stdout or b""
+        if isinstance(part, bytes):
+            part = part.decode(errors="replace")
+        return {"error": f"timeout after {timeout}s",
+                "child_tail": part.strip()[-200:]}
     except Exception as e:  # pragma: no cover - harness safety net
         return {"error": str(e)[:160]}
 
 
 def _run_config(H: int, W: int, CH: int, n_images: int, slice_h: int,
-                primed: bool):
+                primed: bool, seeded: bool = False):
     """One compact encode+decode measurement for a non-headline geometry.
 
     Same methodology as the headline: compile/warm on one batch, then time
     several FRESH batches through the pipelined encode / one decode call
     (the backend elides repeated identical executions, and single-batch
     numbers under-report the sustained overlap the production path gets).
-    ``slice_h`` is re-derived per geometry: the headline's 8-row stripes
-    exceed the Pallas slot budget at 2048 px wide, and forcing them would
-    silently fall back to the XLA engine (whose monolithic program the
-    remote compiler rejects for large stripes).
+    ``seeded`` measures the stored-seed pipeline the headline measures
+    (VERDICT r04 weak #7: extras used to measure primed-only, so their
+    ratios were not comparable).  ``slice_h`` is re-derived per geometry:
+    the headline's 8-row stripes exceed the Pallas slot budget at 2048 px
+    wide, and forcing them would silently fall back to the XLA engine
+    (whose monolithic program the remote compiler rejects for large
+    stripes).
     """
     from llcomp_tpu import api
 
@@ -807,6 +835,14 @@ def _run_config(H: int, W: int, CH: int, n_images: int, slice_h: int,
         slice_h -= 1
     nb = int(os.environ.get("BENCH_PIPELINE_BATCHES", "4")) - 1
     mp = nb * n_images * H * W / 1e6
+    seed_tab = seed_blob = None
+    if seeded and primed:
+        from llcomp_tpu import seed as seedmod
+
+        seed_tab = seedmod.derive_pooled(
+            [make_photo(H, W, c=CH, seed=6000 + i)
+             for i in range(min(8, n_images))])
+        seed_blob = seedmod.pack_blob(seed_tab)
 
     def batch(tag):
         return np.concatenate(
@@ -816,36 +852,44 @@ def _run_config(H: int, W: int, CH: int, n_images: int, slice_h: int,
 
     warm = batch(0)
     t0 = time.time()
-    wstreams = jenc.encode_lanes(warm, engine=engine, primed=primed)
+    wstreams = jenc.encode_lanes(warm, engine=engine, primed=primed,
+                                 seed=seed_tab)
     # warm with the TIMED pass's lane count: the pallas decoder splits G
     # groups into superblocks of NSUB<=8, and a different G would leave a
     # fresh kernel-variant compile inside the timed region (seen as a 19 s
     # "decode" on the 256x4 config)
     jdec.decode_lanes(wstreams * nb, (slice_h, W, CH), engine=dec_engine,
-                      primed=primed)
+                      primed=primed, seed=seed_tab)
     compile_s = time.time() - t0
     # best of two rounds, like the headline: a single sample varied up to
     # 1.7x with worker health across the round-3 captures
     enc_s = dec_s = float("inf")
     exact = True
     streams = []
-    for round_ in range(int(os.environ.get("BENCH_CONFIG_ROUNDS", "2"))):
+    rounds = int(os.environ.get("BENCH_CONFIG_ROUNDS", "2"))
+    for round_ in range(rounds):
+        if round_ and _remaining() < 90:  # in-process budget guard
+            break
         fbs = [batch(1 + round_ * 10 + r) for r in range(nb)]
         t0 = time.time()
-        stds = (jenc.encode_lanes_pipelined(fbs, primed=primed)
+        stds = (jenc.encode_lanes_pipelined(fbs, primed=primed,
+                                            seed=seed_tab)
                 if engine in ("pallas", "fused")
-                else [jenc.encode_lanes(f, engine=engine, primed=primed)
+                else [jenc.encode_lanes(f, engine=engine, primed=primed,
+                                        seed=seed_tab)
                       for f in fbs])
         enc_s = min(enc_s, time.time() - t0)
         fb = np.concatenate(fbs)
         streams = [s for st in stds for s in st]
         t0 = time.time()
         out = jdec.decode_lanes(streams, (slice_h, W, CH), engine=dec_engine,
-                                primed=primed)
+                                primed=primed, seed=seed_tab)
         dec_s = min(dec_s, time.time() - t0)
         exact = exact and bool(np.array_equal(out, fb))
     enc_base = {(2048, 3): 3.8, (1024, 3): 4.1, (256, 4): 2.5}.get((H, CH), 4.0)
     dec_base = {(2048, 3): 3.1, (1024, 3): 3.4, (256, 4): 2.3}.get((H, CH), 3.5)
+    comp_bytes = sum(len(s) for s in streams) + (
+        nb * n_images * len(seed_blob) if seed_blob else 0)
     return {
         "platform": jax.devices()[0].platform,
         "encode_mps": round(mp / enc_s, 3),
@@ -853,8 +897,9 @@ def _run_config(H: int, W: int, CH: int, n_images: int, slice_h: int,
         "encode_vs_baseline": round(mp / enc_s / enc_base, 3),
         "decode_vs_baseline": round(mp / dec_s / dec_base, 3),
         "compression_ratio": round(
-            nb * n_images * H * W * CH / sum(len(s) for s in streams), 3
+            nb * n_images * H * W * CH / comp_bytes, 3
         ),
+        "seeded": seed_tab is not None,
         "roundtrip_exact": exact,
         "images": nb * n_images,
         "slice_h": slice_h,
@@ -866,7 +911,8 @@ if __name__ == "__main__":
     if len(sys.argv) >= 8 and sys.argv[1] == "--config":
         _h, _w, _c, _n, _sh = (int(v) for v in sys.argv[2:7])
         print(json.dumps(
-            _run_config(_h, _w, _c, _n, _sh, sys.argv[7] == "1")))
+            _run_config(_h, _w, _c, _n, _sh, sys.argv[7] == "1",
+                        len(sys.argv) > 8 and sys.argv[8] == "1")))
         sys.exit(0)
     try:
         sys.exit(main())
