@@ -744,6 +744,15 @@ def _fused_collect(mk, lens, ovf, n_sym: int):
     while cap2 < maxlen:
         cap2 = min(outcap, -(-(cap2 + cap2 // 2) // 1024) * 1024)
     cap2 = min(outcap, cap2)
+    # slice the marker buffer to the rows that can matter: each emitted
+    # marker advances ``off`` by >= 1 (pallas/encode_fused.py decision()),
+    # so buffer row i holds a marker with off >= i — once cap2 >= maxlen,
+    # every marker with off < cap2 lives in the first cap2 rows and the
+    # tail is provably DEAD or beyond every probe position.  The sandwich
+    # sort shrinks from (mcap + cap2) to 2*cap2 rows (~38% at photo
+    # ratios, where mcap is the 1.5x coder bound but cap2 ~ raw/2.2).
+    if mk.shape[2] > cap2:
+        mk = mk[:, :, :cap2, :]
     byts = profiling.timed(
         "encode/marker_expand", _expand_markers_jit, mk, cap2
     )

@@ -110,6 +110,8 @@ def _encode_lanes_sharded_fused(
     while cap2 < maxlen:
         cap2 = min(outcap, -(-(cap2 + cap2 // 2) // 1024) * 1024)
     cap2 = min(outcap, cap2)
+    if mk.shape[2] > cap2:  # marker row i has off >= i (encode._fused_collect)
+        mk = mk[:, :, :cap2, :]
     exp = jax.jit(
         jax.shard_map(
             lambda m: coder.expand_markers(m, cap2), mesh=mesh,

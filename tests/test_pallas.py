@@ -203,6 +203,53 @@ def test_fused_lane_chunking_byte_identical(monkeypatch):
     assert a[1024] == oracle.encode(lanes[1024])[6:]
 
 
+def test_expand_markers_sliced_input_identical():
+    """Round-5 expansion shrink: marker buffer row i always holds a marker
+    with off >= i (each emit advances off by >= 1), so slicing the input
+    to cap2 rows before expand_markers cannot change the bytes.  Pinned
+    on synthetic ascending markers denser than any real stream."""
+    import jax
+
+    from llcomp_tpu import coder
+
+    rng = np.random.default_rng(5)
+    A, N, M, cap2 = 2, 3, 96, 64
+    DEAD = 0x7FFFFFFF
+    mk = np.full((A, N, M, 128), DEAD, np.int64)
+    for a in range(A):
+        for n in range(N):
+            for lane in range(128):
+                cnt = rng.integers(0, M)
+                # strictly ascending offs with row i <= off(i); gaps model
+                # deferred-0xFF runs, carry bits sprinkled in
+                offs = np.cumsum(rng.integers(1, 3, cnt))
+                keep = offs < 4 * cap2
+                offs = offs[keep]
+                heads = rng.integers(0, 256, len(offs))
+                carry = rng.integers(0, 2, len(offs))
+                mk[a, n, : len(offs), lane] = (
+                    (offs << 9) | (carry << 8) | heads)
+    mk = jax.numpy.asarray(mk.astype(np.int32))
+    full = np.asarray(coder.expand_markers(mk, cap2))
+    sliced = np.asarray(coder.expand_markers(mk[:, :, :cap2, :], cap2))
+    np.testing.assert_array_equal(full, sliced)
+
+
+def test_fused_engine_sliced_expansion_e2e():
+    """A geometry where the cap ladder lands BELOW the marker capacity, so
+    _fused_collect actually slices the buffer before expansion; bytes must
+    still equal the oracle (n_sym=768: mcap=1232 > cap2=1024)."""
+    lanes = np.stack([make_photo(2, 128, seed=700 + i) for i in range(2)])
+    from llcomp_tpu.pallas import encode_fused as ef
+
+    n_sym = int(np.prod(lanes.shape[1:]))
+    mcap = ef.pick_geometry(n_sym, 1)[1]
+    assert mcap > 1024, "geometry no longer exercises the slice"
+    outs = jenc.encode_lanes(lanes, engine="fused")
+    for i in range(2):
+        assert outs[i] == oracle.encode(lanes[i])[6:], f"lane {i}"
+
+
 def test_pipelined_fused_matches_oracle():
     """The fused cross-batch pipeline (dispatch-all, collect-in-order,
     overflow fallback) must be byte-identical to the oracle; exercised
