@@ -83,6 +83,23 @@ def _start_watchdog() -> None:
             out.update({"metric": "encode_mps_512", "value": 0.0,
                         "unit": "MP/s", "vs_baseline": 0.0})
         out["watchdog_timeout_s"] = _DEADLINE_S
+        if not out.get("value"):
+            # the run hung before any measurement landed (the tunnel's
+            # semi-wedged state: probes pass, real work hangs) — attach
+            # the last successful on-chip capture, clearly labeled
+            try:
+                p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_session.json")
+                with open(p) as f:
+                    last = json.load(f)
+                out["last_tpu_capture"] = {
+                    k: last[k] for k in (
+                        "value", "vs_baseline", "decode_mps_e2e",
+                        "compression_ratio", "bench_wall_s") if k in last}
+                out["last_tpu_capture_age_h"] = round(
+                    (time.time() - os.path.getmtime(p)) / 3600, 1)
+            except Exception:
+                pass
         print(json.dumps(out), flush=True)
         os._exit(0)
 
@@ -383,6 +400,24 @@ def main() -> int:
             pass
     if _FORCED_CPU_FALLBACK:
         result["tpu_tunnel_down"] = True  # measured on CPU: chip unreachable
+        # the wedged-tunnel windows last hours (docs/DESIGN.md): a CPU
+        # fallback number says nothing about the codec, so attach the most
+        # recent SUCCESSFUL on-chip capture (clearly labeled, with its
+        # age) for the reader of the record
+        try:
+            p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_session.json")
+            with open(p) as f:
+                last = json.load(f)
+            result["last_tpu_capture"] = {
+                k: last[k] for k in (
+                    "value", "vs_baseline", "decode_mps_e2e",
+                    "compression_ratio", "bench_wall_s")
+                if k in last}
+            result["last_tpu_capture_age_h"] = round(
+                (time.time() - os.path.getmtime(p)) / 3600, 1)
+        except Exception:
+            pass
     _PARTIAL.update(result)
 
     # -- native host runtime (the framework's CPU production path) -------
@@ -641,6 +676,17 @@ def main() -> int:
     if "skipped" in _PARTIAL:
         result["skipped"] = _PARTIAL["skipped"]
     result["bench_wall_s"] = round(time.time() - _T0, 1)
+    if (result.get("platform") == "tpu" and result.get("roundtrip_exact")
+            and not _FORCED_CPU_FALLBACK):
+        # keep the session record fresh: the most recent good on-chip
+        # capture backs the last_tpu_capture marker above
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_session.json"), "w") as f:
+                json.dump(result, f, indent=1)
+        except OSError:
+            pass
     _PARTIAL["_done"] = True
     print(json.dumps(result))
     return 0
