@@ -110,6 +110,89 @@ if os.environ.get("BENCH_CONFIG_CHILD") != "1":
     _start_watchdog()
 
 
+def _supervise() -> int:
+    """Run the whole measurement in a killable child, retrying once.
+
+    The tunnel oscillates between healthy and wedged on ~10-30 min cycles
+    (docs/DESIGN.md round-5 notes), and in the wedged state the FIRST
+    device call of a process hangs forever — no in-process code can
+    recover from that, only a kill can.  This parent never imports jax,
+    so it can always emit: it gives the measurement child ~55% of the
+    budget, kills it if it hangs, and retries with the remainder —
+    exactly the pattern that turns "wedged at minute 0, recovered at
+    minute 12" from a dead capture into a real one.  Each child's own
+    watchdog (deadline set 30 s inside the kill timeout) emits a partial
+    line first, so even two hung children leave the best partial as the
+    record.  BENCH_SUPERVISE=0 restores the single-process behavior."""
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    best: dict | None = None
+    attempts = 0
+    for attempt in (1, 2):
+        left = _remaining() - 30  # reserve for the final emit
+        if left < 240:
+            break
+        budget = int(left if attempt == 2 else max(min(left * 0.55, 640),
+                                                   240))
+        env = dict(os.environ)
+        env["BENCH_SUPERVISED"] = "1"
+        env["BENCH_DEADLINE_S"] = str(max(120, budget - 30))
+        attempts += 1
+        out = ""
+        try:
+            r = subprocess.run([sys.executable, here], timeout=budget,
+                               capture_output=True, text=True, env=env,
+                               cwd=os.path.dirname(here))
+            out = r.stdout or ""
+        except subprocess.TimeoutExpired as e:  # child watchdog beat us
+            out = e.stdout or ""
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
+        except Exception:
+            pass
+        got = None
+        for line in reversed(out.strip().splitlines()):
+            line = line.strip()
+            if line.startswith('{"metric"'):
+                try:
+                    got = json.loads(line)
+                except ValueError:
+                    pass
+                break
+        if got and (best is None
+                    or got.get("value", 0) > best.get("value", 0)):
+            best = got
+        if (got and got.get("platform") == "tpu" and got.get("value", 0) > 0
+                and got.get("roundtrip_exact")):
+            break  # a real on-chip capture: done
+    if best is None:
+        best = {"metric": "encode_mps_512", "value": 0.0, "unit": "MP/s",
+                "vs_baseline": 0.0, "error": "no attempt emitted a result"}
+        try:
+            with open(os.path.join(os.path.dirname(here),
+                                   "BENCH_session.json")) as f:
+                last = json.load(f)
+            best["last_tpu_capture"] = {
+                k: last[k] for k in ("value", "vs_baseline",
+                                     "decode_mps_e2e", "compression_ratio")
+                if k in last}
+        except Exception:
+            pass
+    best["supervisor_attempts"] = attempts
+    best["bench_wall_s"] = round(time.time() - _T0, 1)
+    _PARTIAL["_done"] = True
+    print(json.dumps(best), flush=True)
+    return 0
+
+
+if (os.environ.get("BENCH_SUPERVISED") != "1"
+        and os.environ.get("BENCH_CONFIG_CHILD") != "1"
+        and os.environ.get("BENCH_SUPERVISE", "1") != "0"
+        and os.environ.get("JAX_PLATFORMS") not in ("cpu",)):
+    sys.exit(_supervise())
+
+
 def _tpu_tunnel_alive(timeout_s: int = 150) -> bool:
     """Probe device liveness in a SUBPROCESS before this process touches
     jax: the tunneled backend hangs jax.devices() indefinitely when the
