@@ -13,10 +13,20 @@ down / ~60 MB/s up, so e2e is link-bound here; production PCIe is ~100x).
 
 A round-trip-exactness gate zeroes vs_baseline on any mismatch.
 
+Structure (round 5): a thin SUPERVISOR parent (never imports jax) runs the
+whole measurement in a killable child with one retry — the tunnel's wedged
+windows hang the first device call of a process forever, and only a kill
+recovers (BENCH_SUPERVISE=0 restores single-process).  Inside the child a
+watchdog armed at import emits the best partial at BENCH_DEADLINE_S
+(default 1150 s), every section budget-gates against the same clock, and a
+capture that could not measure attaches the last good on-chip capture.
+
 Env knobs: BENCH_IMAGES (default 16 = one full 1024-lane kernel group),
-BENCH_SLICE_H (default 8), BENCH_REPS (default 3), BENCH_ENGINE (pallas|xla),
-BENCH_DECODE=0 to skip.  First run in a fresh process pays this backend's
-one-time remote-compile penalty (~4-8 min); results are unaffected.
+BENCH_SLICE_H (default 8), BENCH_REPS (default 3),
+BENCH_ENGINE (fused|pallas|xla), BENCH_DECODE=0 to skip,
+BENCH_EXTRA_ISOLATE=1 to run extra configs in child processes again.
+Compiles hit the persistent cache (llcomp_tpu/_env.py); a cold geometry
+pays the remote backend's one-time compile (~1-8 min).
 """
 from __future__ import annotations
 
