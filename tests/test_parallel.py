@@ -49,6 +49,21 @@ def test_sharded_encode_fused_primed_seeded(mesh8):
         assert got == ref
 
 
+def test_sharded_encode_fused_overflow_falls_back(mesh8, monkeypatch):
+    """A marker-cap overflow on the sharded fused path must fall back to
+    the scan shard path with identical bytes (auto engine contract)."""
+    monkeypatch.setenv("LLCT_FUSED_MCAP", "32")  # force tiny marker cap
+    lanes = np.stack([make_photo(2, 8, seed=80 + i) for i in range(4)])
+    from llcomp_tpu import encode as jenc
+    from llcomp_tpu import parallel as par
+
+    with pytest.raises(jenc.FusedOverflow):
+        par._encode_lanes_sharded_fused(lanes, mesh8, par.REV2, False, None)
+    got = par.encode_lanes_sharded(lanes, mesh8, engine="fused")
+    for i in range(4):
+        assert got[i] == oracle.encode(lanes[i])[6:]
+
+
 def test_sharded_encode_nondivisible_lanes(mesh8):
     lanes = np.stack([make_photo(8, 8, seed=i) for i in range(11)])  # 11 % 8 != 0
     got = parallel.encode_lanes_sharded(lanes, mesh8)
