@@ -176,6 +176,13 @@ def _supervise() -> int:
         if (got and got.get("platform") == "tpu" and got.get("value", 0) > 0
                 and got.get("roundtrip_exact")):
             break  # a real on-chip capture: done
+        if attempt == 1:
+            # the wedge oscillates on ~10-30 min cycles: an attempt that
+            # died quickly would retry into the same window — hold back a
+            # little (the budget math still reserves attempt 2's share)
+            pause = min(120, max(0, _remaining() - 30 - 420))
+            if pause > 0:
+                time.sleep(pause)
     if best is None:
         best = {"metric": "encode_mps_512", "value": 0.0, "unit": "MP/s",
                 "vs_baseline": 0.0, "error": "no attempt emitted a result"}
