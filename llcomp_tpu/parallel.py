@@ -20,6 +20,7 @@ as long as every device has enough lanes to fill — which is why
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -47,6 +48,43 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 def _pad_lanes(n: int, n_dev: int) -> int:
     return -(-n // n_dev) * n_dev
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_shard_fn(mesh: Mesh, sh: int, W: int, C: int, NSUB: int,
+                    mcap: int, cfg: CodecConfig, restart: bool):
+    """Cached jitted shard_map for the fused pod path: rebuilding the
+    closure per call forced a retrace every encode (measured 1.9x e2e
+    loss at the bench geometry on one chip).  The prior operands are
+    explicit replicated args so seeded tables don't key the cache."""
+    from .pallas import encode_fused as ef
+
+    n_sym = sh * W * C
+
+    def _shard(x, plo, phi):
+        g = jencode._regroup_device_nsub(x, NSUB)
+        hg, dg, _ = jencode._stage_precompute_g(g, sh, W, C, cfg)
+        xs = jencode._stage_xs_fused(hg, dg, n_sym)
+        return ef._encode_fused_groups(xs, plo, phi, mcap, cfg, restart)
+
+    return jax.jit(
+        jax.shard_map(
+            _shard, mesh=mesh,
+            in_specs=(P(LANE_AXIS), P(), P()),
+            out_specs=(P(LANE_AXIS), P(LANE_AXIS), P(LANE_AXIS)),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _expand_shard_fn(mesh: Mesh, cap2: int):
+    return jax.jit(
+        jax.shard_map(
+            lambda m: coder.expand_markers(m, cap2), mesh=mesh,
+            in_specs=P(LANE_AXIS), out_specs=P(LANE_AXIS),
+        )
+    )
 
 
 def _encode_lanes_sharded_fused(
@@ -83,21 +121,9 @@ def _encode_lanes_sharded_fused(
     dev = jax.device_put(flat, NamedSharding(mesh, P(LANE_AXIS)))
     restart = primed or seed is not None
 
-    def _shard(x):
-        g = jencode._regroup_device_nsub(x, NSUB)
-        hg, dg, _ = jencode._stage_precompute_g(g, sh, W, C, cfg)
-        xs = jencode._stage_xs_fused(hg, dg, n_sym)
-        return ef.encode_fused_groups(xs, mcap, cfg, restart, seed)
-
-    fn = jax.jit(
-        jax.shard_map(
-            _shard, mesh=mesh,
-            in_specs=P(LANE_AXIS),
-            out_specs=(P(LANE_AXIS), P(LANE_AXIS), P(LANE_AXIS)),
-            check_vma=False,
-        )
-    )
-    mk, lens, ovf = fn(dev)
+    plo, phi = ef._prior_operands(seed)
+    fn = _fused_shard_fn(mesh, sh, W, C, NSUB, mcap, cfg, restart)
+    mk, lens, ovf = fn(dev, plo, phi)
     lens_np, ovf_np = jax.device_get((lens, ovf))
     if int(np.asarray(ovf_np).max(initial=0)):
         raise jencode.FusedOverflow("marker overflow on the sharded path")
@@ -112,13 +138,9 @@ def _encode_lanes_sharded_fused(
     cap2 = min(outcap, cap2)
     if mk.shape[2] > cap2:  # marker row i has off >= i (encode._fused_collect)
         mk = mk[:, :, :cap2, :]
-    exp = jax.jit(
-        jax.shard_map(
-            lambda m: coder.expand_markers(m, cap2), mesh=mesh,
-            in_specs=P(LANE_AXIS), out_specs=P(LANE_AXIS),
-        )
-    )
-    byts = np.asarray(exp(mk))
+    byts_d = _expand_shard_fn(mesh, cap2)(mk)
+    byts_d.copy_to_host_async()
+    byts = np.asarray(byts_d)
     byts = byts.transpose(0, 1, 3, 2).reshape(-1, cap2)
     return [byts[s, : lens_np[s]].tobytes() for s in range(S)]
 
@@ -164,20 +186,49 @@ def encode_lanes_sharded(
               np.asarray(tables.prior_full_from(seed, cfg.num_states,
                                                 cfg.substates)))
 
-    # shard_map: every device runs the full scan on its own lane block with
-    # purely local flat indexing — zero collectives by construction (the SPMD
-    # partitioner cannot prove locality of the flat model gathers itself).
-    fn = jax.jit(
+    fn = _scan_shard_fn(mesh, cap, cfg, primed, rstmap is not None)
+    meta, runs = fn(dev_lanes, np.zeros(1, np.int32) if rstmap is None
+                    else rstmap)
+    return coder.expand_slots_batch(np.asarray(meta), np.asarray(runs))[:S]
+
+
+@functools.lru_cache(maxsize=64)
+def _scan_shard_fn(mesh: Mesh, cap: int, cfg: CodecConfig, primed: bool,
+                   has_rst: bool):
+    """Cached jitted shard_map for the XLA-scan path: every device runs
+    the full scan on its own lane block with purely local flat indexing —
+    zero collectives by construction (the SPMD partitioner cannot prove
+    locality of the flat model gathers itself)."""
+
+    def _shard(x, rst):
+        return jencode._pipeline_impl(x, cap, cfg, primed,
+                                      rst if has_rst else None)
+
+    return jax.jit(
         jax.shard_map(
-            lambda x: jencode._pipeline_impl(x, cap, cfg, primed, rstmap),
-            mesh=mesh,
-            in_specs=P(LANE_AXIS),
+            _shard, mesh=mesh,
+            in_specs=(P(LANE_AXIS), P()),
             out_specs=(P(None, LANE_AXIS), P(None, LANE_AXIS)),
             check_vma=False,  # constant-seeded scan carries vary over lanes
         )
     )
-    meta, runs = fn(dev_lanes)
-    return coder.expand_slots_batch(np.asarray(meta), np.asarray(runs))[:S]
+
+
+@functools.lru_cache(maxsize=64)
+def _decode_shard_fn(mesh: Mesh, H: int, W: int, C: int, cfg: CodecConfig,
+                     primed: bool, has_rst: bool):
+    def _shard(x, rst):
+        return jdecode._decode_impl(x, H, W, C, cfg, primed,
+                                    rst if has_rst else None)
+
+    return jax.jit(
+        jax.shard_map(
+            _shard, mesh=mesh,
+            in_specs=(P(LANE_AXIS), P()),
+            out_specs=(P(LANE_AXIS), P(LANE_AXIS)),
+            check_vma=False,  # constant-seeded scan carries vary over lanes
+        )
+    )
 
 
 def decode_lanes_sharded(
@@ -198,16 +249,9 @@ def decode_lanes_sharded(
     rstmap = (None if seed is None else
               np.asarray(tables.prior_full_from(seed, cfg.num_states,
                                                 cfg.substates)))
-    fn = jax.jit(
-        jax.shard_map(
-            lambda x: jdecode._decode_impl(x, H, W, C, cfg, primed, rstmap),
-            mesh=mesh,
-            in_specs=P(LANE_AXIS),
-            out_specs=(P(LANE_AXIS), P(LANE_AXIS)),
-            check_vma=False,  # constant-seeded scan carries vary over lanes
-        )
-    )
-    planes, err = fn(dev)
+    fn = _decode_shard_fn(mesh, H, W, C, cfg, primed, rstmap is not None)
+    planes, err = fn(dev, np.zeros(1, np.int32) if rstmap is None
+                     else rstmap)
     err = np.asarray(err)[:S]
     if err.any():
         raise ValueError(
