@@ -66,8 +66,33 @@ def pick_slice_height(height: int, width: int, channels: int,
             jdec._bucket_cap(n_sym), stride, tuned=False)
 
     rows = max(1, min(height, rows))
+    clamped = False
     while rows >= 2 and not fast(rows):
         rows = max(2, rows // 2) if rows > 2 else 1
+        clamped = True
+    if clamped and fast(rows):
+        # VMEM-clamped wide images (round 5): the fused walk advances
+        # NSUB*128 lanes per serial step, so SUBLANE PACKING — not stripe
+        # height — sets encode throughput; a height that merely *fits*
+        # can leave NSUB at 1-2 and halve/quarter the rate (measured:
+        # 2048² at 8 rows/NSUB2 = 3.4 MP/s e2e vs 2 rows/NSUB4 = 5.25;
+        # 256x8192 at 4 rows/NSUB1 = 0.40 vs thin/NSUB2 = 2.63).  Take
+        # the tallest height at the maximal NSUB; ratio-targeted heights
+        # (never clamped) are untouched, so the 512-px 16-row seeded
+        # north star keeps beating the single stream.
+        def nsub(r: int) -> int:
+            return ef.pick_geometry(r * stride, 8, tuned=False)[0]
+
+        best_r, best_n = rows, nsub(rows)
+        r = rows
+        while r > 1:
+            r //= 2
+            if not fast(r):
+                continue
+            n = nsub(r)
+            if n > best_n:
+                best_r, best_n = r, n
+        rows = best_r
     if rows >= 2 or height == 1 or fast(1):
         return max(1, min(height, rows))
     return max(1, min(height, min_rows))  # extreme width: native regime

@@ -133,10 +133,18 @@ def test_wide_image_slicing_stays_on_kernel_path():
 
     for w in (2048, 3840, 8192, 16384):
         sh = api.pick_slice_height(4096, w, 3)
-        assert sh >= 2, (w, sh)  # never the 1-row-stripe regime
         n_sym = sh * w * 3
         assert ef.fits_fused(n_sym), (w, sh)
         assert dk.fits_pallas_decode(jdec._bucket_cap(n_sym), w * 3), (w, sh)
+        # round 5: among fitting heights the policy takes the tallest at
+        # the maximal sublane packing — the fused walk advances NSUB*128
+        # lanes per serial step, so NSUB (not height) sets throughput
+        best_nsub = max(
+            ef.pick_geometry(r * w * 3, 8, tuned=False)[0]
+            for r in (1, 2, 4, 8)
+            if ef.fits_fused(r * w * 3, tuned=False))
+        assert ef.pick_geometry(n_sym, 8, tuned=False)[0] == best_nsub, (
+            w, sh)
     # extreme widths whose ring exceeds VMEM at any height keep min_rows
     # (api.decompress reroutes those to the native runtime)
     assert api.pick_slice_height(64, 60000, 3) == 8
