@@ -827,7 +827,10 @@ def _encode_device_only_fused(batches, slice_h, W, CH, primed,
     # microseconds per sync, but this tunnel pays ~0.3 s RTT each — six
     # serialized syncs here were masking ~40% of the device rate
     fetched = jax.device_get([(lens, ovf) for _, lens, ovf in res])
-    done = [jenc._fused_collect(mk, lens_np, ovf_np, n_sym)
+    # prefetch=False: this loop times the DEVICE chain; starting the D2H
+    # copies here made the "device" number device+tunnel (9.6 vs the
+    # 18.0 the same chain measures without them, tools/probe_chain5.py)
+    done = [jenc._fused_collect(mk, lens_np, ovf_np, n_sym, prefetch=False)
             for (mk, _, _), (lens_np, ovf_np) in zip(res, fetched)]
     for b2, _ in done:
         b2.block_until_ready()

@@ -718,9 +718,12 @@ def _fused_launch(imgs: np.ndarray, cfg: CodecConfig = REV2,
     return mk, lens, ovf
 
 
-def _fused_collect(mk, lens, ovf, n_sym: int):
+def _fused_collect(mk, lens, ovf, n_sym: int, prefetch: bool = True):
     """Sync lengths + overflow, expand markers at the actual cap, start
-    the D2H copy.  Returns (device bytes [G_out, NSUB, cap2, 128], lens).
+    the D2H copy (``prefetch=False`` skips the copy start — the bench's
+    device-only loop excludes downloads from its timed region; with the
+    copy inside it the "device" number was really device+tunnel).
+    Returns (device bytes [G_out, NSUB, cap2, 128], lens).
 
     lens and ovf are fetched in ONE device_get (two serialized
     np.asarray syncs cost two tunnel round-trips, ~0.3 s each here);
@@ -756,7 +759,8 @@ def _fused_collect(mk, lens, ovf, n_sym: int):
     byts = profiling.timed(
         "encode/marker_expand", _expand_markers_jit, mk, cap2
     )
-    byts.copy_to_host_async()
+    if prefetch:
+        byts.copy_to_host_async()
     return byts, lens_np
 
 
