@@ -32,7 +32,7 @@ def main() -> None:
     ).astype(np.uint8)
 
     blob = llcomp_tpu.compress(img, slices="auto")
-    streams, W, H, C, slice_h, flags, seed_blob = container.unpack_sliced(blob)
+    streams, W, H, C, slice_h, flags, seed_blob, _tw = container.unpack_sliced(blob)
     print(f"container: {len(streams)} slices of {slice_h} rows, "
           f"flags={flags:#x} (seeded={bool(flags & container.FLAG_SEEDED)}), "
           f"{len(blob)} bytes (ratio {img.nbytes / len(blob):.2f})")

@@ -51,19 +51,43 @@ def pick_slice_height(height: int, width: int, channels: int,
     those to the native runtime.  Must stay a pure function of geometry:
     every host shapes identical containers.
     """
-    rows = max(min_rows, -(-height // target_lanes))
+    rows, _clamped = _pick_slice_height_ex(height, width, channels,
+                                           target_lanes, min_rows)
+    return rows
+
+
+def _fits_fast(rows: int, stride: int) -> bool:
+    """True when a ``rows``-tall stripe of ``stride`` symbols/row fits BOTH
+    fused Pallas engines' VMEM budgets.  tuned=False: env kernel-tuning
+    overrides must not leak into container shaping (identical bytes on
+    every host of a pod)."""
     from . import decode as jdec
     from .pallas import decode_kernel as dk
     from .pallas import encode_fused as ef
 
+    n_sym = rows * stride
+    return ef.fits_fused(n_sym, tuned=False) and dk.fits_pallas_decode(
+        jdec._bucket_cap(n_sym), stride, tuned=False)
+
+
+def _stripe_nsub(n_sym: int) -> int:
+    """Sublane packing the fused encode kernel achieves at this stripe
+    size (throughput is ~proportional: NSUB*128 lanes advance per serial
+    step)."""
+    from .pallas import encode_fused as ef
+
+    return ef.pick_geometry(n_sym, 8, tuned=False)[0]
+
+
+def _pick_slice_height_ex(height: int, width: int, channels: int,
+                          target_lanes: int = 32,
+                          min_rows: int = 8) -> tuple[int, bool]:
+    """(slice height, VMEM-clamped?) — see ``pick_slice_height``."""
+    rows = max(min_rows, -(-height // target_lanes))
     stride = width * channels
 
     def fast(r: int) -> bool:
-        n_sym = r * stride
-        # tuned=False: env kernel-tuning overrides must not leak into
-        # container shaping (identical bytes on every host of a pod)
-        return ef.fits_fused(n_sym, tuned=False) and dk.fits_pallas_decode(
-            jdec._bucket_cap(n_sym), stride, tuned=False)
+        return _fits_fast(r, stride)
 
     rows = max(1, min(height, rows))
     clamped = False
@@ -80,22 +104,92 @@ def pick_slice_height(height: int, width: int, channels: int,
         # the tallest height at the maximal NSUB; ratio-targeted heights
         # (never clamped) are untouched, so the 512-px 16-row seeded
         # north star keeps beating the single stream.
-        def nsub(r: int) -> int:
-            return ef.pick_geometry(r * stride, 8, tuned=False)[0]
-
-        best_r, best_n = rows, nsub(rows)
+        best_r, best_n = rows, _stripe_nsub(rows * stride)
         r = rows
         while r > 1:
             r //= 2
             if not fast(r):
                 continue
-            n = nsub(r)
+            n = _stripe_nsub(r * stride)
             if n > best_n:
                 best_r, best_n = r, n
         rows = best_r
     if rows >= 2 or height == 1 or fast(1):
-        return max(1, min(height, rows))
-    return max(1, min(height, min_rows))  # extreme width: native regime
+        return max(1, min(height, rows)), clamped
+    # extreme width: native regime
+    return max(1, min(height, min_rows)), clamped
+
+
+# Tiles narrower than this cost ratio fast (each tile restarts prediction
+# context at its left edge and its stripes are short streams) without
+# buying more sublane packing than a 1024-px tile already does (NSUB is
+# capped at 8: a 1024x1-px RGB stripe is already NSUB8).
+MIN_TILE_W = 1024
+
+
+def _tile_slice_height(height: int, tile_w: int, channels: int) -> int:
+    """Stripe height for a column tile: tallest at the maximal NSUB.
+
+    Tiles exist purely to restore kernel throughput on wide images (the
+    image was already VMEM-clamped, i.e. past the ratio-targeted regime),
+    so the height rule is the clamped-width rule everywhere: take the
+    tallest height whose stripes reach the best achievable sublane
+    packing, starting from the geometry-targeted height."""
+    stride = tile_w * channels
+    r0, _ = _pick_slice_height_ex(height, tile_w, channels)
+    best_r, best_n = r0, _stripe_nsub(r0 * stride) if _fits_fast(
+        r0, stride) else 0
+    r = r0
+    while r > 1:
+        r //= 2
+        if not _fits_fast(r, stride):
+            continue
+        n = _stripe_nsub(r * stride)
+        if n > best_n:
+            best_r, best_n = r, n
+    return best_r
+
+
+def pick_tiling(height: int, width: int, channels: int
+                ) -> tuple[int, int]:
+    """(tile_w, slice_h) for ``compress(slices='auto')`` — 0 = untiled.
+
+    Column tiling (container flag bit 3) exists for images whose WIDTH
+    alone defeats sublane packing: the fused encode kernel advances
+    NSUB*128 lanes per serial step, NSUB*mcap VMEM scales with the stripe
+    byte size, and a stripe can never be narrower than the image — so at
+    8192 px wide even 1-row stripes leave NSUB at 2 and the kernel at 1/4
+    rate (docs/DESIGN.md round-5 table).  Cutting the image into column
+    tiles makes the stripe width a policy variable again: 2048-px tiles
+    at 1-row stripes run NSUB8 — the measured 8+ MP/s configuration —
+    for a ~2% ratio cost (more/shorter streams; the stored seed holds the
+    floor).  Policy: tile only when the untiled geometry is already
+    VMEM-clamped (ratio-targeted heights are never touched) and tiling at
+    least DOUBLES the achievable NSUB; prefer the widest tile achieving
+    the best NSUB.  Pure function of geometry: every host of a pod shapes
+    identical containers (same discipline as pick_slice_height).
+    """
+    rows, clamped = _pick_slice_height_ex(height, width, channels)
+    if not clamped or width < 2 * MIN_TILE_W:
+        return 0, rows
+    base_n = _stripe_nsub(rows * width * channels) if _fits_fast(
+        rows, width * channels) else 1
+    best_n, best = base_n, (0, rows)
+    for k in range(2, width // MIN_TILE_W + 1):
+        tw = -(-width // k)
+        if tw < MIN_TILE_W:
+            break
+        r = _tile_slice_height(height, tw, channels)
+        if not _fits_fast(r, tw * channels):
+            continue
+        n = _stripe_nsub(r * tw * channels)
+        if n > best_n:
+            best_n, best = n, (tw, r)
+        if n >= 8:
+            break  # k ascends => widest tiles reaching max NSUB win
+    if best[0] and best_n >= 2 * base_n:
+        return best
+    return 0, rows
 
 
 # Encoder policy for the sliced-mode model prior (tables.PRIOR_TAB): priming
@@ -179,7 +273,8 @@ def _resolve_backend(backend: str, single: bool = False,
 def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
              backend: str = "auto", revision: int = 2,
              primed: bool | None = None,
-             seeded: bool | None = None) -> bytes:
+             seeded: bool | None = None,
+             tile_w: int | None = None) -> bytes:
     """Compress a uint8 [H, W, C] image.
 
     slices=None/1 -> reference-compatible single stream (bit-exact vs llcompc).
@@ -200,6 +295,12 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
     tools/eval_stored_seed.py) where the static prior is 2.187.  None =
     auto: seeded when priming is on and the image is large enough to
     amortize the stored table (>= ~120 KB raw).
+    tile_w (sliced mode only): cut the image into column tiles of this
+    width (container flag bit 3), each tile striped independently —
+    restores full sublane packing for very wide images whose stripe
+    width alone defeats the fused kernels (``pick_tiling``).  None =
+    auto (tile only VMEM-clamped geometries where tiling >= doubles
+    NSUB); 0 = never tile.
     """
     img = _as_image(img)
     H, W, C = img.shape
@@ -236,33 +337,43 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
         return container.pack_single(stream, W, H, C, cfg)
 
     if slices == "auto":
-        slice_h = pick_slice_height(H, W, C)
+        if tile_w is None:
+            tw, slice_h = pick_tiling(H, W, C)
+        elif tile_w:
+            tw = int(tile_w)
+            slice_h = _tile_slice_height(H, tw, C)
+        else:
+            tw, slice_h = 0, pick_slice_height(H, W, C)
     else:
         n = int(slices)
         if n < 1:
             raise ValueError(f"slices must be >= 1 or 'auto', got {n}")
         slice_h = max(1, -(-H // n))
-    bounds = container.slice_bounds(H, slice_h)
-    backend = _resolve_backend(backend, lanes=len(bounds), cfg=cfg)
+        tw = int(tile_w) if tile_w else 0
+    if tw and not 0 < tw < W:
+        raise ValueError(f"tile_w {tw} outside (0, width={W})")
+    regions = container.tile_regions(W, H, slice_h, tw)
+    backend = _resolve_backend(backend, lanes=len(regions), cfg=cfg)
     if primed is None:
-        primed = len(bounds) > 1 and _pick_primed(img, cfg)
+        primed = len(regions) > 1 and _pick_primed(img, cfg)
     if seeded is None:
         seeded = primed and H * W * C >= 120_000
     if seeded:
         from . import seed as seedmod
 
         tab = seedmod.derive(img, cfg)
-        streams = encode_stripes(img, bounds, cfg, True, backend=backend,
-                                 seed=tab)
+        streams = _encode_regions(img, regions, cfg, True, backend=backend,
+                                  seed=tab)
         return container.pack_sliced(
             streams, W, H, C, slice_h, cfg,
             flags=container.FLAG_SEEDED | container.FLAG_CRC,
-            seed_blob=seedmod.pack_blob(tab),
+            seed_blob=seedmod.pack_blob(tab), tile_w=tw,
         )
-    streams = encode_stripes(img, bounds, cfg, primed, backend=backend)
+    streams = _encode_regions(img, regions, cfg, primed, backend=backend)
     return container.pack_sliced(
         streams, W, H, C, slice_h, cfg,
         flags=(container.FLAG_PRIMED if primed else 0) | container.FLAG_CRC,
+        tile_w=tw,
     )
 
 
@@ -270,17 +381,34 @@ def encode_stripes(img: np.ndarray, bounds, cfg: CodecConfig = REV2,
                    primed: bool = False, backend: str = "jax",
                    seed=None) -> list[bytes]:
     """Encode stripes as independent streams, batching equal-shaped stripes."""
+    W = img.shape[1]
+    return _encode_regions(img, [(y0, y1, 0, W) for y0, y1 in bounds], cfg,
+                           primed, backend=backend, seed=seed)
+
+
+def _encode_regions(img: np.ndarray, regions, cfg: CodecConfig = REV2,
+                    primed: bool = False, backend: str = "jax",
+                    seed=None) -> list[bytes]:
+    """Encode ``(y0, y1, x0, x1)`` pixel regions as independent streams,
+    batching equal-shaped regions into one lane batch (tiles of equal
+    width share lanes with each other across the whole image, so a tiled
+    wide image fills kernel groups exactly like a corpus batch)."""
     from . import encode
 
-    by_shape: dict[int, list[int]] = {}
-    for i, (y0, y1) in enumerate(bounds):
-        by_shape.setdefault(y1 - y0, []).append(i)
-    out: list[bytes | None] = [None] * len(bounds)
-    for rows, idxs in by_shape.items():
+    by_shape: dict[tuple[int, int], list[int]] = {}
+    for i, (y0, y1, x0, x1) in enumerate(regions):
+        by_shape.setdefault((y1 - y0, x1 - x0), []).append(i)
+    out: list[bytes | None] = [None] * len(regions)
+    for (rows, cols), idxs in by_shape.items():
+
+        def block(i: int) -> np.ndarray:
+            y0, y1, x0, x1 = regions[i]
+            return img[y0:y1, x0:x1]
+
         if backend == "native":
             from . import host
 
-            lanes = np.stack([img[bounds[i][0] : bounds[i][1]] for i in idxs])
+            lanes = np.stack([block(i) for i in idxs])
             for i, blob in zip(idxs, host.encode_images(lanes, primed=primed,
                                                         seed=seed)):
                 out[i] = blob
@@ -288,11 +416,11 @@ def encode_stripes(img: np.ndarray, bounds, cfg: CodecConfig = REV2,
         # bound device memory for very large stripes: the encode engines
         # hold O(n_sym*24) slot records per lane, so cap slots*lanes in
         # flight (~4 GB at 8 B/slot) and chunk the lane batch if needed
-        n_sym = rows * img.shape[1] * img.shape[2]
+        n_sym = rows * cols * img.shape[2]
         chunk = max(1, 500_000_000 // max(1, n_sym * 24))
         for c0 in range(0, len(idxs), chunk):
             part = idxs[c0 : c0 + chunk]
-            lanes = np.stack([img[bounds[i][0] : bounds[i][1]] for i in part])
+            lanes = np.stack([block(i) for i in part])
             for i, blob in zip(
                 part, encode.encode_lanes(lanes, cfg, primed=primed,
                                           seed=seed)
@@ -318,10 +446,10 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "auto",
     data = bytes(data)
     requested = backend
     if container.is_sliced(data):
-        streams, W, H, C, slice_h, flags, seed_blob = container.unpack_sliced(
-            data, cfg)
-        bounds = container.slice_bounds(H, slice_h)
-        backend = _resolve_backend(backend, lanes=len(bounds), cfg=cfg)
+        (streams, W, H, C, slice_h, flags, seed_blob,
+         tile_w) = container.unpack_sliced(data, cfg)
+        regions = container.tile_regions(W, H, slice_h, tile_w)
+        backend = _resolve_backend(backend, lanes=len(regions), cfg=cfg)
         if backend == "jax" and requested == "auto":
             # geometries whose line ring exceeds the decode kernel's VMEM
             # budget would land on the XLA fallback (~0.4 MP/s, 10x below
@@ -335,7 +463,7 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "auto",
             cap = jdecode._bucket_cap(
                 max((len(s) for s in streams), default=0))
             if (jax.default_backend() == "tpu"
-                    and not dk.fits_pallas_decode(cap, W * C)
+                    and not dk.fits_pallas_decode(cap, (tile_w or W) * C)
                     and _native_available()):
                 backend = "native"
         tab = None
@@ -351,10 +479,10 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "auto",
         if badcrc and strict:
             raise ValueError(f"corrupt stream in slices {badcrc} "
                              "(crc mismatch)")
-        return decode_stripes(streams, bounds, W, C, cfg,
-                              primed=bool(flags & container.FLAG_PRIMED),
-                              backend=backend, strict=strict, seed=tab,
-                              skip=badcrc)
+        return _decode_regions(streams, regions, (H, W, C), cfg,
+                               primed=bool(flags & container.FLAG_PRIMED),
+                               backend=backend, strict=strict, seed=tab,
+                               skip=badcrc)
 
     if data[:1] == b"\x77":  # legacy revision-0 stream (llcomp.js)
         from . import rev0
@@ -388,28 +516,45 @@ def decompress(data: bytes, cfg: CodecConfig = REV2, backend: str = "auto",
 def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2,
                    primed: bool = False, backend: str = "jax",
                    strict: bool = True, seed=None, skip=()):
-    """Decode a sliced container's stripes into one image.
+    """Decode a sliced container's full-width stripes into one image.
 
-    strict=False returns ``(img, bad_slices)`` instead of raising on a
-    corrupt slice: the flagged stripes' rows are undefined, every other
-    stripe is exact (per-slice stream independence, SURVEY §5; the repair
-    primitive is ``reencode_slice``).  ``skip``: slice indices already
-    known corrupt (crc mismatches) — zero-filled and reported without
-    decoding.
+    See ``_decode_regions`` (this is the untiled special case kept for
+    the public surface and the distributed/parallel callers).
+    """
+    H = bounds[-1][1]
+    return _decode_regions(streams, [(y0, y1, 0, W) for y0, y1 in bounds],
+                           (H, W, C), cfg, primed=primed, backend=backend,
+                           strict=strict, seed=seed, skip=skip)
+
+
+def _decode_regions(streams, regions, shape: tuple[int, int, int],
+                    cfg: CodecConfig = REV2, primed: bool = False,
+                    backend: str = "jax", strict: bool = True, seed=None,
+                    skip=()):
+    """Decode per-region streams into one ``shape`` image.
+
+    ``regions`` are stream-order ``(y0, y1, x0, x1)`` pixel rectangles
+    (``container.tile_regions``); equal-shaped regions batch into one
+    lane call.  strict=False returns ``(img, bad_slices)`` instead of
+    raising on a corrupt slice: the flagged regions' pixels are
+    undefined, every other region is exact (per-slice stream
+    independence, SURVEY §5; the repair primitive is ``reencode_slice``).
+    ``skip``: slice indices already known corrupt (crc mismatches) —
+    zero-filled and reported without decoding.
     """
     from . import decode
 
-    H = bounds[-1][1]
+    H, W, C = shape
     out = np.empty((H, W, C), dtype=np.uint8)
     bad_slices: list[int] = list(skip)
     for i in bad_slices:
-        y0, y1 = bounds[i]
-        out[y0:y1] = 0
-    by_shape: dict[int, list[int]] = {}
-    for i, (y0, y1) in enumerate(bounds):
+        y0, y1, x0, x1 = regions[i]
+        out[y0:y1, x0:x1] = 0
+    by_shape: dict[tuple[int, int], list[int]] = {}
+    for i, (y0, y1, x0, x1) in enumerate(regions):
         if i not in bad_slices:
-            by_shape.setdefault(y1 - y0, []).append(i)
-    for rows, idxs in by_shape.items():
+            by_shape.setdefault((y1 - y0, x1 - x0), []).append(i)
+    for (rows, cols), idxs in by_shape.items():
         if backend == "native":
             from . import host
 
@@ -418,16 +563,16 @@ def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2,
             # so strict mode can name the corrupt slices like the jax path
             try:
                 lanes = host.decode_streams(
-                    [streams[i] for i in idxs], (rows, W, C), primed=primed,
-                    seed=seed,
+                    [streams[i] for i in idxs], (rows, cols, C),
+                    primed=primed, seed=seed,
                 )
             except ValueError as batch_err:
-                lanes = np.zeros((len(idxs), rows, W, C), np.uint8)
+                lanes = np.zeros((len(idxs), rows, cols, C), np.uint8)
                 shape_bad = []
                 for k, i in enumerate(idxs):
                     try:
                         lanes[k] = host.decode_streams(
-                            [streams[i]], (rows, W, C), primed=primed,
+                            [streams[i]], (rows, cols, C), primed=primed,
                             seed=seed)[0]
                     except ValueError:
                         shape_bad.append(i)
@@ -440,8 +585,8 @@ def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2,
                 bad_slices.extend(shape_bad)
         else:
             lanes, bad = decode.decode_lanes(
-                [streams[i] for i in idxs], (rows, W, C), cfg, primed=primed,
-                errors="report", seed=seed,
+                [streams[i] for i in idxs], (rows, cols, C), cfg,
+                primed=primed, errors="report", seed=seed,
             )
             if bad:
                 if strict:
@@ -451,7 +596,8 @@ def decode_stripes(streams, bounds, W: int, C: int, cfg: CodecConfig = REV2,
                     )
                 bad_slices.extend(idxs[b] for b in bad)
         for k, i in enumerate(idxs):
-            out[bounds[i][0] : bounds[i][1]] = lanes[k]
+            y0, y1, x0, x1 = regions[i]
+            out[y0:y1, x0:x1] = lanes[k]
     if strict:
         return out
     return out, sorted(bad_slices)
@@ -467,16 +613,18 @@ def reencode_slice(data: bytes, index: int, stripe, cfg: CodecConfig = REV2) -> 
     fault-tolerance primitive SURVEY §5 calls for: a lost/corrupt shard is
     healed by re-encoding only its rows.
     """
-    streams, W, H, C, slice_h, flags, seed_blob = container.unpack_sliced(
-        data, cfg)
-    bounds = container.slice_bounds(H, slice_h)
-    if not 0 <= index < len(bounds):
-        raise IndexError(f"slice index {index} out of range [0, {len(bounds)})")
+    (streams, W, H, C, slice_h, flags, seed_blob,
+     tile_w) = container.unpack_sliced(data, cfg)
+    regions = container.tile_regions(W, H, slice_h, tile_w)
+    if not 0 <= index < len(regions):
+        raise IndexError(
+            f"slice index {index} out of range [0, {len(regions)})")
     stripe = _as_image(stripe)
-    y0, y1 = bounds[index]
-    if stripe.shape != (y1 - y0, W, C):
+    y0, y1, x0, x1 = regions[index]
+    if stripe.shape != (y1 - y0, x1 - x0, C):
         raise ValueError(
-            f"stripe shape {stripe.shape} != expected {(y1 - y0, W, C)}"
+            f"stripe shape {stripe.shape} != expected "
+            f"{(y1 - y0, x1 - x0, C)}"
         )
     from . import encode
 
@@ -491,7 +639,7 @@ def reencode_slice(data: bytes, index: int, stripe, cfg: CodecConfig = REV2) -> 
         seed=tab,
     )[0]
     return container.pack_sliced(streams, W, H, C, slice_h, cfg, flags=flags,
-                                 seed_blob=seed_blob)
+                                 seed_blob=seed_blob, tile_w=tile_w)
 
 
 # Sliced-format aliases used by the package __init__.

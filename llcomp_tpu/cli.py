@@ -79,7 +79,8 @@ def _cmd_decompress(args) -> int:
 def _cmd_info(args) -> int:
     data = pathlib.Path(args.input).read_bytes()
     if container.is_sliced(data):
-        streams, w, h, c, slice_h, flags, seed = container.unpack_sliced(data)
+        (streams, w, h, c, slice_h, flags, seed,
+         tile_w) = container.unpack_sliced(data)
         mode = ""
         if flags & container.FLAG_PRIMED:
             mode += " primed"
@@ -87,8 +88,14 @@ def _cmd_info(args) -> int:
             mode += f" seeded({len(seed)}B)"
         if flags & container.FLAG_CRC:
             mode += " crc"
+        if flags & container.FLAG_TILED:
+            mode += f" tiled({tile_w}px)"
         print(f"sliced container v{container.CONTAINER_VERSION} (rev 2{mode})")
-        print(f"  {w}x{h}x{c}, {len(streams)} slices of {slice_h} rows")
+        tiles = -(-w // tile_w) if tile_w else 1
+        geom = (f"{len(streams)} slices of {slice_h} rows"
+                + (f" x {tiles} column tiles of {tile_w} px" if tile_w
+                   else ""))
+        print(f"  {w}x{h}x{c}, {geom}")
         print(f"  payload {sum(len(s) for s in streams)} bytes, "
               f"{8 * len(data) / (w * h):.3f} bpp")
         lens = [len(s) for s in streams]

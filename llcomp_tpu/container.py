@@ -21,11 +21,15 @@ Two on-disk formats:
                      bit 1: per-image stored seed — a seed section follows
                      the fixed head and context row h starts at
                      seed[h % 121] instead (see ``seed``);
-                     bit 2: per-slice crc32 integrity table)
+                     bit 2: per-slice crc32 integrity table;
+                     bit 3: column tiles — a tile width follows the fixed
+                     head and slices run tile-major (see ``tile_regions``))
       8   4   width  u32
       12  4   height u32
       16  4   slice height u32 (last slice may be shorter)
       20  4   slice count u32
+      [flags bit 3 only:]
+      24  4   tile width u32 (last tile may be narrower)
       [flags bit 1 only:]
       24  2   seed blob length u16
       26  ..  zlib seed blob (121x8 u8 start states; ~650 B)
@@ -54,6 +58,13 @@ CONTAINER_VERSION = 1
 FLAG_PRIMED = 1  # context row h starts at tables.PRIOR_TAB[h % 121]
 FLAG_SEEDED = 2  # context row h starts at the stored seed[h % 121]
 FLAG_CRC = 4     # per-slice crc32 table follows the length index
+FLAG_TILED = 8   # column tiles: a u32 tile width follows the fixed head;
+#                  slices run tile-major (tile 0 top->bottom, then tile 1,
+#                  ...), each over rows [k*slice_h, ...) x cols
+#                  [t*tile_w, min((t+1)*tile_w, W)).  Tiling restores full
+#                  sublane packing (NSUB) for images whose WIDTH alone
+#                  exceeds the fused kernels' VMEM budgets — the encoder
+#                  policy is api.pick_tiling; decoders just reassemble.
 
 
 def pack_single(stream: bytes, width: int, height: int, channels: int,
@@ -76,13 +87,22 @@ def unpack_single(data: bytes, cfg: CodecConfig = REV2):
 
 def pack_sliced(streams: list[bytes], width: int, height: int, channels: int,
                 slice_h: int, cfg: CodecConfig = REV2,
-                flags: int = 0, seed_blob: bytes | None = None) -> bytes:
+                flags: int = 0, seed_blob: bytes | None = None,
+                tile_w: int = 0) -> bytes:
     if bool(flags & FLAG_SEEDED) != (seed_blob is not None):
         raise ValueError("seed_blob must be given iff flags bit 1 is set")
+    if tile_w and not flags & FLAG_TILED:
+        flags |= FLAG_TILED
+    if bool(flags & FLAG_TILED) != bool(tile_w):
+        raise ValueError("tile_w must be given iff flags bit 3 is set")
+    if tile_w and not 0 < tile_w < width:
+        raise ValueError(f"tile_w {tile_w} outside (0, width={width})")
     head = MAGIC_SLICED + struct.pack(
         "<BBBBIIII", CONTAINER_VERSION, cfg.revision, channels, flags,
         width, height, slice_h, len(streams),
     )
+    if tile_w:
+        head += struct.pack("<I", tile_w)
     if seed_blob is not None:
         head += struct.pack("<H", len(seed_blob)) + seed_blob
     index = struct.pack(f"<{len(streams)}I", *(len(s) for s in streams))
@@ -94,9 +114,11 @@ def pack_sliced(streams: list[bytes], width: int, height: int, channels: int,
 
 
 def unpack_sliced(data: bytes, cfg: CodecConfig = REV2):
-    """-> (streams, width, height, channels, slice_h, flags, seed_blob).
+    """-> (streams, width, height, channels, slice_h, flags, seed_blob,
+    tile_w).
 
-    ``seed_blob`` is None unless flags bit 1 (FLAG_SEEDED) is set.
+    ``seed_blob`` is None unless flags bit 1 (FLAG_SEEDED) is set;
+    ``tile_w`` is 0 unless flags bit 3 (FLAG_TILED) is set.
     """
     if data[:4] != MAGIC_SLICED:
         raise ValueError("Invalid magic number")
@@ -107,9 +129,15 @@ def unpack_sliced(data: bytes, cfg: CodecConfig = REV2):
         raise ValueError(f"unsupported container version {ver}")
     if rev != cfg.revision:
         raise ValueError(f"unsupported codec revision {rev}")
-    if flags & ~(FLAG_PRIMED | FLAG_SEEDED | FLAG_CRC):
+    if flags & ~(FLAG_PRIMED | FLAG_SEEDED | FLAG_CRC | FLAG_TILED):
         raise ValueError(f"unsupported container flags {flags:#x}")
     off = 24
+    tile_w = 0
+    if flags & FLAG_TILED:
+        (tile_w,) = struct.unpack_from("<I", data, off)
+        off += 4
+        if not 0 < tile_w < width:
+            raise ValueError(f"tile_w {tile_w} outside (0, width={width})")
     seed_blob = None
     if flags & FLAG_SEEDED:
         (blen,) = struct.unpack_from("<H", data, off)
@@ -124,7 +152,7 @@ def unpack_sliced(data: bytes, cfg: CodecConfig = REV2):
     for ln in lengths:
         streams.append(data[off : off + ln])
         off += ln
-    return streams, width, height, channels, slice_h, flags, seed_blob
+    return streams, width, height, channels, slice_h, flags, seed_blob, tile_w
 
 
 def verify_slices(data: bytes, cfg: CodecConfig = REV2) -> list[int] | None:
@@ -143,6 +171,8 @@ def verify_slices(data: bytes, cfg: CodecConfig = REV2) -> list[int] | None:
     if not flags & FLAG_CRC:
         return None
     off = 24
+    if flags & FLAG_TILED:
+        off += 4
     if flags & FLAG_SEEDED:
         (blen,) = struct.unpack_from("<H", data, off)
         off += 2 + blen
@@ -160,6 +190,25 @@ def verify_slices(data: bytes, cfg: CodecConfig = REV2) -> list[int] | None:
 
 def slice_bounds(height: int, slice_h: int) -> list[tuple[int, int]]:
     return [(y, min(y + slice_h, height)) for y in range(0, height, slice_h)]
+
+
+def tile_regions(width: int, height: int, slice_h: int,
+                 tile_w: int = 0) -> list[tuple[int, int, int, int]]:
+    """Stream-order pixel regions ``(y0, y1, x0, x1)`` of a container.
+
+    ``tile_w == 0`` (untiled): one full-width region per stripe.  Tiled
+    (flag bit 3): tile-major order — every stripe of tile 0, then tile 1,
+    ... — with the last tile possibly narrower, exactly as the last stripe
+    may be shorter.
+    """
+    rows = slice_bounds(height, slice_h)
+    if not tile_w:
+        return [(y0, y1, 0, width) for y0, y1 in rows]
+    return [
+        (y0, y1, x0, min(x0 + tile_w, width))
+        for x0 in range(0, width, tile_w)
+        for y0, y1 in rows
+    ]
 
 
 def is_sliced(data: bytes) -> bool:

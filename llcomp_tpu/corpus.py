@@ -207,17 +207,19 @@ def decompress_corpus(
     # group key includes the seed blob so every batch is single-table
     # (containers encoded as one corpus share the pooled table and batch
     # together; foreign containers with other seeds form their own groups)
-    groups: dict[tuple, list[tuple[int, int, bytes]]] = {}
-    for idx, (streams, W, H, C, slice_h, flags, seed_blob) in enumerate(metas):
+    groups: dict[tuple, list[tuple[int, tuple, bytes]]] = {}
+    for idx, (streams, W, H, C, slice_h, flags, seed_blob,
+              tile_w) in enumerate(metas):
         primed = bool(flags & container.FLAG_PRIMED)
-        for j, (y0, y1) in enumerate(container.slice_bounds(H, slice_h)):
-            groups.setdefault((y1 - y0, W, C, primed, seed_blob), []).append(
-                (idx, j, streams[j])
-            )
+        for j, (y0, y1, x0, x1) in enumerate(
+                container.tile_regions(W, H, slice_h, tile_w)):
+            groups.setdefault(
+                (y1 - y0, x1 - x0, C, primed, seed_blob), []
+            ).append((idx, (y0, y1, x0, x1), streams[j]))
 
     outs = [
         np.empty((H, W, C), dtype=np.uint8)
-        for (_, W, H, C, _, _, _) in metas
+        for (_, W, H, C, _, _, _, _) in metas
     ]
     for (rows, W, C, primed, seed_blob), members in groups.items():
         seed_tab = None
@@ -243,7 +245,7 @@ def decompress_corpus(
             else:
                 lanes = jdec.decode_lanes([m[2] for m in chunk], (rows, W, C),
                                           cfg, primed=primed, seed=seed_tab)
-            for (idx, j, _), lane in zip(chunk, lanes):
-                y0 = j * metas[idx][4]
-                outs[idx][y0 : y0 + rows] = lane
+            for (idx, region, _), lane in zip(chunk, lanes):
+                y0, y1, x0, x1 = region
+                outs[idx][y0:y1, x0:x1] = lane
     return outs

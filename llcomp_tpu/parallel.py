@@ -301,24 +301,25 @@ def compress_sharded(
 
 
 def decompress_sharded(data: bytes, mesh: Mesh, cfg: CodecConfig = REV2) -> np.ndarray:
-    streams, W, H, C, slice_h, flags, seed_blob = container.unpack_sliced(
-        data, cfg)
+    (streams, W, H, C, slice_h, flags, seed_blob,
+     tile_w) = container.unpack_sliced(data, cfg)
     seed_tab = None
     if seed_blob is not None:
         from . import seed as seedmod
 
         seed_tab = seedmod.unpack_blob(seed_blob)
     primed = bool(flags & (container.FLAG_PRIMED | container.FLAG_SEEDED))
-    bounds = container.slice_bounds(H, slice_h)
+    regions = container.tile_regions(W, H, slice_h, tile_w)
     out = np.empty((H, W, C), dtype=np.uint8)
-    by_shape: dict[int, list[int]] = {}
-    for i, (y0, y1) in enumerate(bounds):
-        by_shape.setdefault(y1 - y0, []).append(i)
-    for rows, idxs in by_shape.items():
+    by_shape: dict[tuple[int, int], list[int]] = {}
+    for i, (y0, y1, x0, x1) in enumerate(regions):
+        by_shape.setdefault((y1 - y0, x1 - x0), []).append(i)
+    for (rows, cols), idxs in by_shape.items():
         lanes = decode_lanes_sharded(
-            [streams[i] for i in idxs], (rows, W, C), mesh, cfg, primed,
+            [streams[i] for i in idxs], (rows, cols, C), mesh, cfg, primed,
             seed_tab,
         )
         for k, i in enumerate(idxs):
-            out[bounds[i][0] : bounds[i][1]] = lanes[k]
+            y0, y1, x0, x1 = regions[i]
+            out[y0:y1, x0:x1] = lanes[k]
     return out

@@ -38,7 +38,7 @@ def test_sliced_streams_are_independent_reference_streams():
     """Each stripe payload is a valid headerless rev-2 stream of that stripe."""
     img = make_photo(24, 16)
     blob = llcomp_tpu.compress(img, slices=3, primed=False)
-    streams, W, H, C, slice_h, flags, _seed = container.unpack_sliced(blob)
+    streams, W, H, C, slice_h, flags, _seed, _tw = container.unpack_sliced(blob)
     assert (W, H, C, slice_h, len(streams)) == (16, 24, 3, 8, 3)
     assert flags == container.FLAG_CRC  # integrity table on by default
     for i, s in enumerate(streams):
@@ -50,7 +50,7 @@ def test_sliced_primed_streams_match_primed_oracle():
     """Primed stripes = oracle encode with the PRIOR_SUB initial model."""
     img = make_photo(24, 16)
     blob = llcomp_tpu.compress(img, slices=3, primed=True)
-    streams, W, H, C, slice_h, flags, _seed = container.unpack_sliced(blob)
+    streams, W, H, C, slice_h, flags, _seed, _tw = container.unpack_sliced(blob)
     assert flags & container.FLAG_PRIMED
     for i, s in enumerate(streams):
         stripe = img[i * 8 : (i + 1) * 8]
@@ -76,7 +76,7 @@ def test_primed_all_decode_engines_agree():
 
     img = make_photo(16, 16)
     blob = llcomp_tpu.compress(img, slices=2, primed=True)
-    streams, W, H, C, slice_h, flags, _seed = container.unpack_sliced(blob)
+    streams, W, H, C, slice_h, flags, _seed, _tw = container.unpack_sliced(blob)
     ref = np.stack([img[:8], img[8:]])
     for engine in ("decision", "lockstep", "rowbatch"):
         out = jdec.decode_lanes(streams, (8, W, C), engine=engine, primed=True)
@@ -167,7 +167,7 @@ def test_reencode_slice_heals_corrupt_stripe():
     original container (slice independence, SURVEY §5)."""
     img = make_photo(32, 16)
     blob = llcomp_tpu.compress(img, slices=4)
-    streams, W, H, C, slice_h, flags, _seed = container.unpack_sliced(blob)
+    streams, W, H, C, slice_h, flags, _seed, _tw = container.unpack_sliced(blob)
     # corrupt slice 2's payload in place
     bad = list(streams)
     bad[2] = bytes([b ^ 0xFF for b in bad[2]])
@@ -188,8 +188,8 @@ def test_seeded_roundtrip_and_oracle_exact():
 
     img = make_photo(32, 16, seed=9)
     blob = llcomp_tpu.compress(img, slices=4, seeded=True)
-    streams, W, H, C, slice_h, flags, seed_blob = container.unpack_sliced(
-        blob)
+    (streams, W, H, C, slice_h, flags, seed_blob,
+     _tw) = container.unpack_sliced(blob)
     assert flags & container.FLAG_SEEDED and seed_blob
     tab = seedmod.unpack_blob(seed_blob)
     assert tab.shape == (121, 8)
@@ -210,8 +210,8 @@ def test_seeded_decode_engines_agree():
 
     img = make_photo(16, 16, seed=4)
     blob = llcomp_tpu.compress(img, slices=2, seeded=True)
-    streams, W, H, C, slice_h, flags, seed_blob = container.unpack_sliced(
-        blob)
+    (streams, W, H, C, slice_h, flags, seed_blob,
+     _tw) = container.unpack_sliced(blob)
     tab = seedmod.unpack_blob(seed_blob)
     ref = np.stack([img[:8], img[8:]])
     for engine in ("decision", "lockstep", "rowbatch", "pallas"):
@@ -223,8 +223,8 @@ def test_seeded_decode_engines_agree():
 def test_seeded_reencode_slice_heals():
     img = make_photo(32, 16, seed=11)
     blob = llcomp_tpu.compress(img, slices=4, seeded=True)
-    streams, W, H, C, slice_h, flags, seed_blob = container.unpack_sliced(
-        blob)
+    (streams, W, H, C, slice_h, flags, seed_blob,
+     _tw) = container.unpack_sliced(blob)
     bad = list(streams)
     bad[1] = bytes([b ^ 0xAA for b in bad[1]])
     broken = container.pack_sliced(bad, W, H, C, slice_h, flags=flags,
@@ -299,7 +299,7 @@ def test_decompress_nonstrict_isolates_corrupt_slice():
 
     img = make_photo(32, 16)
     blob = llcomp_tpu.compress(img, slices=4, primed=False)
-    streams, W, H, C, slice_h, flags, _seed = container.unpack_sliced(blob)
+    streams, W, H, C, slice_h, flags, _seed, _tw = container.unpack_sliced(blob)
     bad = list(streams)
     bad[2] = _malicious_stream()  # reliably trips the e>31 guard
     broken = container.pack_sliced(bad, W, H, C, slice_h, flags=flags)
@@ -429,7 +429,7 @@ def test_crc_detects_silent_corruption():
     strict/non-strict behavior without decoding the bad slice."""
     img = make_photo(32, 16, seed=21)
     blob = llcomp_tpu.compress(img, slices=4)
-    streams, W, H, C, slice_h, flags, _seed = container.unpack_sliced(blob)
+    streams, W, H, C, slice_h, flags, _seed, _tw = container.unpack_sliced(blob)
     assert flags & container.FLAG_CRC
     assert container.verify_slices(blob) == []
     # zero slice 1's payload bytes IN the container
