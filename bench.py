@@ -988,9 +988,18 @@ def _run_config(H: int, W: int, CH: int, n_images: int, slice_h: int,
     on_tpu = jax.default_backend() == "tpu"
     engine = os.environ.get("BENCH_ENGINE", "fused" if on_tpu else "xla")
     dec_engine = "pallas" if on_tpu else "decision"
-    slice_h = min(slice_h, api.pick_slice_height(H, W, CH))
+    # production geometry: ultra-wide images are column-tiled (api.compress
+    # via pick_tiling, round 5) so their stripes regain full sublane
+    # packing — measure THAT configuration, not the untiled floor
+    tile_w, tiled_sh = api.pick_tiling(H, W, CH)
+    if tile_w and W % tile_w == 0:
+        lane_w, slice_h = tile_w, tiled_sh
+    else:
+        lane_w = W
+        slice_h = min(slice_h, api.pick_slice_height(H, W, CH))
     while H % slice_h:  # the synthetic lane batching needs exact stripes
         slice_h -= 1
+    k_tiles = W // lane_w
     nb = int(os.environ.get("BENCH_PIPELINE_BATCHES", "4")) - 1
     mp = nb * n_images * H * W / 1e6
     seed_tab = seed_blob = None
@@ -1003,10 +1012,13 @@ def _run_config(H: int, W: int, CH: int, n_images: int, slice_h: int,
         seed_blob = seedmod.pack_blob(seed_tab)
 
     def batch(tag):
-        return np.concatenate(
-            [make_photo(H, W, c=CH, seed=6000 + tag * 31 + i).reshape(
-                H // slice_h, slice_h, W, CH) for i in range(n_images)]
-        )
+        ims = np.stack([make_photo(H, W, c=CH, seed=6000 + tag * 31 + i)
+                        for i in range(n_images)])
+        stripes = ims.reshape(n_images, H // slice_h, slice_h,
+                              k_tiles, lane_w, CH)
+        return np.ascontiguousarray(
+            stripes.transpose(0, 1, 3, 2, 4, 5)
+        ).reshape(-1, slice_h, lane_w, CH)
 
     warm = batch(0)
     t0 = time.time()
@@ -1016,7 +1028,7 @@ def _run_config(H: int, W: int, CH: int, n_images: int, slice_h: int,
     # groups into superblocks of NSUB<=8, and a different G would leave a
     # fresh kernel-variant compile inside the timed region (seen as a 19 s
     # "decode" on the 256x4 config)
-    jdec.decode_lanes(wstreams * nb, (slice_h, W, CH), engine=dec_engine,
+    jdec.decode_lanes(wstreams * nb, (slice_h, lane_w, CH), engine=dec_engine,
                       primed=primed, seed=seed_tab)
     compile_s = time.time() - t0
     # best of two rounds, like the headline: a single sample varied up to
@@ -1040,7 +1052,8 @@ def _run_config(H: int, W: int, CH: int, n_images: int, slice_h: int,
         fb = np.concatenate(fbs)
         streams = [s for st in stds for s in st]
         t0 = time.time()
-        out = jdec.decode_lanes(streams, (slice_h, W, CH), engine=dec_engine,
+        out = jdec.decode_lanes(streams, (slice_h, lane_w, CH),
+                                engine=dec_engine,
                                 primed=primed, seed=seed_tab)
         dec_s = min(dec_s, time.time() - t0)
         exact = exact and bool(np.array_equal(out, fb))
@@ -1061,6 +1074,7 @@ def _run_config(H: int, W: int, CH: int, n_images: int, slice_h: int,
         "roundtrip_exact": exact,
         "images": nb * n_images,
         "slice_h": slice_h,
+        **({"tile_w": lane_w} if k_tiles > 1 else {}),
         "compile_s": round(compile_s, 1),
     }
 
