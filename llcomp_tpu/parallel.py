@@ -263,17 +263,29 @@ def decode_lanes_sharded(
 def compress_sharded(
     img: np.ndarray, mesh: Mesh, slices: int | str = "auto", cfg: CodecConfig = REV2
 ) -> bytes:
-    """Sliced-container compress with stripes sharded over the mesh."""
+    """Sliced-container compress with stripes sharded over the mesh.
+
+    Mirrors ``api.compress`` policy: ultra-wide VMEM-clamped images are
+    column-tiled (flag bit 3, ``api.pick_tiling``) so every device's
+    fused kernel runs at full sublane packing — a pod host and a
+    single-chip host shape identical containers for the same geometry
+    when both use the auto policies (tiling is geometry-pure; the
+    mesh-targeted stripe count below only applies untiled).
+    """
     from . import api
 
     img = api._as_image(img)
     H, W, C = img.shape
+    tile_w = 0
     if slices == "auto":
-        slice_h = api.pick_slice_height(H, W, C, target_lanes=8 * mesh.devices.size)
+        tile_w, slice_h = api.pick_tiling(H, W, C)
+        if not tile_w:
+            slice_h = api.pick_slice_height(
+                H, W, C, target_lanes=8 * mesh.devices.size)
     else:
         slice_h = max(1, -(-H // int(slices)))
-    bounds = container.slice_bounds(H, slice_h)
-    primed = len(bounds) > 1 and api._pick_primed(img, cfg)
+    regions = container.tile_regions(W, H, slice_h, tile_w)
+    primed = len(regions) > 1 and api._pick_primed(img, cfg)
     seed_tab = seed_blob = None
     if primed and H * W * C >= 120_000:  # same auto policy as api.compress
         from . import seed as seedmod
@@ -281,12 +293,13 @@ def compress_sharded(
         seed_tab = seedmod.derive(img, cfg)
         seed_blob = seedmod.pack_blob(seed_tab)
 
-    by_shape: dict[int, list[int]] = {}
-    for i, (y0, y1) in enumerate(bounds):
-        by_shape.setdefault(y1 - y0, []).append(i)
-    out: list[bytes] = [b""] * len(bounds)
-    for rows, idxs in by_shape.items():
-        stack = np.stack([img[bounds[i][0] : bounds[i][1]] for i in idxs])
+    by_shape: dict[tuple[int, int], list[int]] = {}
+    for i, (y0, y1, x0, x1) in enumerate(regions):
+        by_shape.setdefault((y1 - y0, x1 - x0), []).append(i)
+    out: list[bytes] = [b""] * len(regions)
+    for (rows, cols), idxs in by_shape.items():
+        stack = np.stack([img[regions[i][0] : regions[i][1],
+                              regions[i][2] : regions[i][3]] for i in idxs])
         for i, blob in zip(
             idxs, encode_lanes_sharded(stack, mesh, cfg, primed, seed_tab)
         ):
@@ -296,7 +309,7 @@ def compress_sharded(
         flags=(container.FLAG_SEEDED if seed_tab is not None
                else (container.FLAG_PRIMED if primed else 0))
         | container.FLAG_CRC,
-        seed_blob=seed_blob,
+        seed_blob=seed_blob, tile_w=tile_w,
     )
 
 

@@ -193,6 +193,31 @@ def test_corpus_decode_mixed_tiled_and_untiled():
     assert np.array_equal(outs[1], plain_img)
 
 
+def test_sharded_compress_tiles_like_api(monkeypatch):
+    # compress_sharded must shape the same tiled container the single-host
+    # auto policy shapes (pod determinism), and round-trip through both
+    # the sharded and unsharded decoders.  Small ultra-wide geometry so
+    # the CPU-mesh XLA scan stays fast; force the scan engine (the fused
+    # kernel in interpret mode is test-covered in test_parallel).
+    from llcomp_tpu import parallel
+
+    monkeypatch.setenv("LLCT_ENCODE_ENGINE", "xla")
+    img = make_photo(16, 8192, seed=21)
+    tw, sh = api.pick_tiling(16, 8192, 3)
+    assert tw == 2048 and sh == 1  # the known-clamped ultra-wide geometry
+    mesh = parallel.make_mesh(8)
+    blob = parallel.compress_sharded(img, mesh)
+    assert container.unpack_sliced(blob)[7] == tw
+    assert np.array_equal(parallel.decompress_sharded(blob, mesh), img)
+    assert np.array_equal(api.decompress(blob, backend="native"), img)
+    # byte-identical to the single-host container when the policies match
+    flags = container.unpack_sliced(blob)[5]
+    blob_api = api.compress(img, slices="auto", backend="native",
+                            primed=bool(flags & container.FLAG_PRIMED),
+                            seeded=bool(flags & container.FLAG_SEEDED))
+    assert blob == blob_api
+
+
 def test_cli_info_reports_tiling(tmp_path, capsys):
     from llcomp_tpu import cli
 
