@@ -125,6 +125,22 @@ def _one(H: int, W: int, CH: int) -> int:
               f"exact={deg_ok}", flush=True)
         if not deg_ok:
             return 5
+
+    if W >= 4096:
+        # the production ultra-wide path is column-TILED (api.pick_tiling,
+        # round 5): gate the full api.compress -> decompress pipeline —
+        # policy, tiled container, kernels — on real Mosaic, not just the
+        # untiled stripe kernels above
+        t0 = time.time()
+        tw, tsh = api.pick_tiling(H, W, CH)
+        blob = api.compress(imgs[0], slices="auto", backend="jax")
+        timg = api.decompress(blob, backend="jax")
+        tiled_ok = bool(np.array_equal(timg, imgs[0]))
+        print(f"SMOKE stage=tiled ok s={time.time()-t0:.1f} tile_w={tw} "
+              f"slice_h={tsh} exact={tiled_ok} "
+              f"ratio={imgs[0].nbytes / len(blob):.3f}", flush=True)
+        if not (tiled_ok and (tw == 0 or blob[7] & 8)):
+            return 6
     return 0
 
 
