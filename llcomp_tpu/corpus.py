@@ -62,13 +62,40 @@ class CorpusStats:
         }
 
 
-def _stripe_plan(shapes, slice_h):
-    """Group (image_idx, y0, y1) stripes by (rows, W, C) for lockstep batching."""
-    groups: dict[tuple[int, int, int], list[tuple[int, int, int]]] = {}
-    for idx, (H, W, C) in enumerate(shapes):
-        for y0, y1 in container.slice_bounds(H, slice_h):
-            groups.setdefault((y1 - y0, W, C), []).append((idx, y0, y1))
-    return groups
+def _region_plan(shapes, slice_h, tile_w="auto"):
+    """Per-image region layout + lockstep batching groups.
+
+    -> (eff, regions_per, groups): ``eff[idx] = (slice_h_i, tile_w_i)``
+    (ultra-wide images get their own tiled geometry when ``tile_w`` is
+    'auto' — same policy as api.compress — while every other image keeps
+    the corpus ``slice_h``), ``regions_per[idx]`` the stream-order
+    ``(y0, y1, x0, x1)`` list, and ``groups`` mapping ``(rows, cols, C)``
+    to ``(idx, j, region)`` members for lockstep batching — stripes of
+    equal shape share lanes across images AND tiles.
+    """
+    eff: list[tuple[int, int]] = []
+    for (H, W, C) in shapes:
+        if tile_w == "auto":
+            tw, sh = api.pick_tiling(H, W, C)
+            if not tw:
+                sh = slice_h
+        elif tile_w:
+            tw = int(tile_w) if 0 < int(tile_w) < W else 0
+            sh = api._tile_slice_height(H, tw, C) if tw else slice_h
+        else:
+            tw, sh = 0, slice_h
+        eff.append((sh, tw))
+    regions_per = [
+        container.tile_regions(s[1], s[0], e[0], e[1])
+        for s, e in zip(shapes, eff)
+    ]
+    groups: dict[tuple[int, int, int], list] = {}
+    for idx, regs in enumerate(regions_per):
+        C = shapes[idx][2]
+        for j, (y0, y1, x0, x1) in enumerate(regs):
+            groups.setdefault((y1 - y0, x1 - x0, C), []).append(
+                (idx, j, (y0, y1, x0, x1)))
+    return eff, regions_per, groups
 
 
 def compress_corpus(
@@ -80,6 +107,7 @@ def compress_corpus(
     primed: bool | None = None,
     backend: str = "jax",
     seeded: bool | None = None,
+    tile_w: int | str = "auto",
 ) -> tuple[list[bytes], CorpusStats]:
     """Compress many images -> per-image sliced containers + stats.
 
@@ -93,7 +121,11 @@ def compress_corpus(
     independently decodable; None = auto (seeded iff primed, like
     api.compress).  ``backend``: 'jax', 'native' (threaded C++ runtime), or
     'auto' (jax on TPU hosts, native elsewhere) — identical bytes either
-    way; ``mesh`` forces the sharded jax path.
+    way; ``mesh`` forces the sharded jax path.  ``tile_w``: 'auto' gives
+    VMEM-clamped ultra-wide images the same column tiling api.compress
+    gives them (their own tiled slice height; every other image keeps the
+    corpus ``slice_h``); 0 never tiles; an int tiles every image wider
+    than it.
     """
     from . import encode as jenc
 
@@ -115,23 +147,22 @@ def compress_corpus(
         primed = True
     stats = CorpusStats(images=len(images))
     shapes = [im.shape for im in images]
-    groups = _stripe_plan(shapes, slice_h)
+    eff, regions_per, groups = _region_plan(shapes, slice_h, tile_w)
 
     t0 = time.perf_counter()
     per_image: list[list[bytes | None]] = [
-        [None] * len(container.slice_bounds(s[0], slice_h)) for s in shapes
+        [None] * len(regs) for regs in regions_per
     ]
-    slice_of: list[dict[int, int]] = [dict() for _ in shapes]
-    for idx, s in enumerate(shapes):
-        for j, (y0, y1) in enumerate(container.slice_bounds(s[0], slice_h)):
-            slice_of[idx][y0] = j
 
     chunks = []
-    for (rows, W, C), members in groups.items():
+    for (rows, cols, C), members in groups.items():
         for start in range(0, len(members), max_lanes_per_batch):
             chunk = members[start : start + max_lanes_per_batch]
             chunks.append(
-                (chunk, np.stack([images[i][y0:y1] for i, y0, y1 in chunk]))
+                (chunk, np.stack([
+                    images[i][y0:y1, x0:x1]
+                    for i, _j, (y0, y1, x0, x1) in chunk
+                ]))
             )
             stats.lanes += len(chunk)
             stats.batches += 1
@@ -173,19 +204,19 @@ def compress_corpus(
                     chunks[k][1], cfg, primed=primed, seed=seed_tab
                 )
     for (chunk, _), streams in zip(chunks, all_streams):
-        for (i, y0, y1), blob in zip(chunk, streams):
-            per_image[i][slice_of[i][y0]] = blob
+        for (i, j, _region), blob in zip(chunk, streams):
+            per_image[i][j] = blob
     stats.encode_s = time.perf_counter() - t0
 
     blobs = []
     for idx, im in enumerate(images):
         H, W, C = im.shape
         blob = container.pack_sliced(
-            per_image[idx], W, H, C, slice_h, cfg,
+            per_image[idx], W, H, C, eff[idx][0], cfg,
             flags=(container.FLAG_SEEDED if seeded
                    else (container.FLAG_PRIMED if primed else 0))
             | container.FLAG_CRC,
-            seed_blob=seed_blob,
+            seed_blob=seed_blob, tile_w=eff[idx][1],
         )
         blobs.append(blob)
         stats.pixels += H * W

@@ -193,6 +193,31 @@ def test_corpus_decode_mixed_tiled_and_untiled():
     assert np.array_equal(outs[1], plain_img)
 
 
+def test_corpus_compress_tiles_ultrawide_members():
+    # a mixed corpus: the ultra-wide member gets its own tiled geometry
+    # (api.compress policy), the small member keeps the corpus slice_h;
+    # both round-trip and the tiled member's container says so
+    from llcomp_tpu import corpus
+
+    wide = make_photo(16, 8192, seed=22)
+    small = make_photo(32, 64, seed=23)
+    blobs, stats = corpus.compress_corpus([wide, small], slice_h=8,
+                                          backend="native")
+    w_meta = container.unpack_sliced(blobs[0])
+    s_meta = container.unpack_sliced(blobs[1])
+    assert w_meta[7] == 2048 and w_meta[4] == 1      # tiled, 1-row stripes
+    assert s_meta[7] == 0 and s_meta[4] == 8         # corpus slice_h kept
+    outs = corpus.decompress_corpus(blobs, backend="native")
+    assert np.array_equal(outs[0], wide)
+    assert np.array_equal(outs[1], small)
+    # explicit opt-out restores the untiled corpus geometry
+    blobs0, _ = corpus.compress_corpus([wide], slice_h=8, tile_w=0,
+                                       backend="native")
+    assert container.unpack_sliced(blobs0[0])[7] == 0
+    assert np.array_equal(
+        corpus.decompress_corpus(blobs0, backend="native")[0], wide)
+
+
 def test_sharded_compress_tiles_like_api(monkeypatch):
     # compress_sharded must shape the same tiled container the single-host
     # auto policy shapes (pod determinism), and round-trip through both
