@@ -314,13 +314,14 @@ def compress(img, slices: int | str | None = None, cfg: CodecConfig = REV2,
 
     if slices in (None, 1):
         backend = _resolve_backend(backend, single=True, cfg=cfg)
-        if primed or seeded:
-            # the prior/seed are properties of the *sliced* container
-            # (flag bits 0/1); a single reference-compatible stream has
-            # no flag byte to record them, so honoring the request is
-            # impossible — fail loudly instead of silently dropping it
+        if primed or seeded or tile_w:
+            # the prior/seed/tiles are properties of the *sliced*
+            # container (flag bits 0/1/3); a single reference-compatible
+            # stream has no flag byte to record them, so honoring the
+            # request is impossible — fail loudly instead of silently
+            # dropping it
             raise ValueError(
-                "primed/seeded apply to sliced mode only; "
+                "primed/seeded/tile_w apply to sliced mode only; "
                 "pass slices='auto' or an int >= 2"
             )
         if backend == "oracle":

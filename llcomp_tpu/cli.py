@@ -4,6 +4,7 @@ Covers both reference CLIs (`llcompc.cpp`, `llcompd.cpp`) plus the sliced
 TPU-parallel mode and a stream inspector:
 
     python -m llcomp_tpu.cli compress   <image> [-o OUT] [--slices N|auto]
+                                        [--tile-w auto|0|PX]
     python -m llcomp_tpu.cli decompress <file.llcomp|.llct> [-o OUT]
     python -m llcomp_tpu.cli info       <file.llcomp|.llct>
 
@@ -40,9 +41,15 @@ def _cmd_compress(args) -> int:
     slices = args.slices
     if slices not in (None, "auto"):
         slices = int(slices)
+    tile_w = args.tile_w
+    if tile_w is not None and tile_w != "auto":
+        tile_w = int(tile_w)
+    elif tile_w == "auto":
+        tile_w = None  # api default: pick_tiling decides
     t0 = time.perf_counter()
     blob = api.compress(
-        img, slices=slices, backend=args.backend, revision=args.revision
+        img, slices=slices, backend=args.backend, revision=args.revision,
+        tile_w=tile_w,
     )
     dt = time.perf_counter() - t0
     out = pathlib.Path(
@@ -215,6 +222,10 @@ def main(argv=None) -> int:
     pc.add_argument("-o", "--output")
     pc.add_argument("--slices", default=None,
                     help="'auto' or stripe count; omit for reference format")
+    pc.add_argument("--tile-w", dest="tile_w", default="auto",
+                    help="column tile width for very wide images: 'auto' "
+                         "(policy, default), 0 to disable, or a pixel "
+                         "width (sliced mode only)")
     pc.add_argument("--backend", default="auto",
                     choices=["auto", "jax", "oracle", "native"])
     pc.add_argument("--revision", type=int, default=2, choices=[0, 2],

@@ -255,6 +255,33 @@ def test_cli_info_reports_tiling(tmp_path, capsys):
     assert "tiled(40px)" in out and "column tiles" in out
 
 
+def test_cli_compress_tile_flag(tmp_path, capsys):
+    from PIL import Image
+
+    from llcomp_tpu import cli
+
+    img = make_photo(48, 96, seed=24)
+    src = tmp_path / "img.png"
+    Image.fromarray(img).save(src)
+    out = tmp_path / "img.llct"
+    assert cli.main(["compress", str(src), "-o", str(out),
+                     "--slices", "auto", "--tile-w", "40",
+                     "--backend", "native"]) == 0
+    blob = out.read_bytes()
+    assert container.unpack_sliced(blob)[7] == 40
+    dec = tmp_path / "roundtrip.png"
+    assert cli.main(["decompress", str(out), "-o", str(dec),
+                     "--backend", "native"]) == 0
+    assert np.array_equal(np.asarray(Image.open(dec)), img)
+    # --tile-w 0 disables; single-stream + explicit tile rejects loudly
+    assert cli.main(["compress", str(src), "-o", str(out),
+                     "--slices", "auto", "--tile-w", "0",
+                     "--backend", "native"]) == 0
+    assert container.unpack_sliced(out.read_bytes())[7] == 0
+    with pytest.raises(ValueError, match="sliced mode"):
+        api.compress(img, tile_w=40)
+
+
 def test_unknown_flag_bits_still_reject():
     # the versioning contract that protects pre-tiling readers from bit 3
     # protects us from bit 4+: unknown flags raise, never decode garbage
