@@ -8,9 +8,11 @@ link is healthy.  Prints one JSON line:
 
     {"compute_s": ..., "down_mbs": ..., "healthy": bool}
 
-Heuristics: compute under 15 s (wedged mode hangs forever; run under
-timeout), download >= LINK_HEALTHY_MBS (default 18 — the windows that
-produced the record captures measured ~19+).
+Heuristics: download >= LINK_HEALTHY_MBS (default 18 — the windows that
+produced the record captures measured ~19+); compute only guards the
+wedge (< 60 s — a fresh-process handshake alone can cost 25 s in an
+otherwise fast window, measured r5l; the wedged mode hangs forever, so
+run under timeout).
 
 Usage:  timeout 150 python tools/probe_link.py
 """
@@ -46,7 +48,7 @@ def main() -> int:
         "compute_s": round(compute_s, 1),
         "down_mbs": round(down, 1),
         "platform": jax.devices()[0].platform,
-        "healthy": bool(compute_s < 15 and down >= thresh),
+        "healthy": bool(compute_s < 60 and down >= thresh),
     }
     print(json.dumps(out))
     return 0 if out["healthy"] else 1
