@@ -599,7 +599,11 @@ def main() -> int:
             # not be a single unlucky sample
             round_s: list[float] = []
             base_rounds = int(os.environ.get("BENCH_DECODE_ROUNDS", "3"))
-            max_rounds = base_rounds + 2
+            # up to 4 extra rounds on high spread (was 2): each costs ~3-4 s
+            # against an 1150 s budget, and the r5l capture's rounds spread
+            # 2.8-4.8 MP/s inside one window — the min-gated headline should
+            # reflect the codec, not one unlucky transfer
+            max_rounds = base_rounds + 4
             round_ = 0
             while (round_ < base_rounds or (
                 round_s and round_ < max_rounds
